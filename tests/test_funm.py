@@ -1,0 +1,132 @@
+"""expmv / norm estimation / stochastic trace vs dense oracles."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from krylov_robustness_tpu.funm.dense import (
+    frechet_offdiag,
+    fun_sym,
+    trace_fun_update_dense,
+)
+from krylov_robustness_tpu.funm.expmv import expmv, select_taylor_degree
+from krylov_robustness_tpu.funm.normest import norm1, normest2
+from krylov_robustness_tpu.funm.trace import mc_trace, trace_exp
+from krylov_robustness_tpu.ops.sparse import CooMatrix
+
+from helpers import random_graph
+
+
+def test_norm1_exact():
+    A = random_graph(120, 0.05, seed=5, weighted=True)
+    M = CooMatrix.from_scipy(A)
+    want = sp.linalg.norm(A, 1)
+    np.testing.assert_allclose(float(norm1(M)), want, rtol=1e-12)
+
+
+def test_normest2_close_to_spectral_norm():
+    A = random_graph(150, 0.05, seed=9)
+    M = CooMatrix.from_scipy(A)
+    lam = np.abs(
+        sp.linalg.eigsh(A.astype(float), k=1, return_eigenvectors=False)
+    )[0]
+    est = float(normest2(M, tol=1e-4, max_iter=500))
+    assert abs(est - lam) / lam < 0.05
+
+
+@pytest.mark.parametrize("t", [1.0, 0.5, -0.3])
+def test_expmv_matches_dense(t):
+    A = random_graph(90, 0.08, seed=2)
+    M = CooMatrix.from_scipy(A)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((90, 4))
+    want = scipy.linalg.expm(t * A.toarray()) @ b
+    got = np.asarray(expmv(M, jnp.asarray(b), t=t))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9 * np.abs(want).max())
+
+
+def test_expmv_plan_reuse():
+    A = random_graph(60, 0.1, seed=4)
+    M = CooMatrix.from_scipy(A)
+    plan = select_taylor_degree(M, t=1.0, b_cols=10)
+    assert plan.m >= 1 and plan.s >= 1
+    b = np.eye(60)[:, :10]
+    want = scipy.linalg.expm(A.toarray())[:, :10]
+    got = np.asarray(expmv(M, jnp.asarray(b), t=1.0, plan=plan))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10 * np.abs(want).max())
+
+
+def test_mc_trace_exact_operator():
+    n = 80
+    A = random_graph(n, 0.1, seed=8)
+    D = scipy.linalg.expm(A.toarray())
+    Dj = jnp.asarray(D)
+
+    tr, res, it = mc_trace(lambda x: Dj @ x, n, tol=1e-6, maxit=1000)
+    want = np.trace(D)
+    assert abs(tr - want) / want < 1e-3
+
+
+def test_trace_exp_small_graph():
+    n = 120
+    A = random_graph(n, 0.06, seed=13)
+    M = CooMatrix.from_scipy(A)
+    want = np.trace(scipy.linalg.expm(A.toarray()))
+    got = trace_exp(M, tol=1e-6)
+    assert abs(got - want) / want < 1e-3
+
+
+def test_fun_sym_matches_expm():
+    rng = np.random.default_rng(3)
+    S = rng.standard_normal((30, 30))
+    S = (S + S.T) / 2
+    want = scipy.linalg.expm(S)
+    got = np.asarray(fun_sym(jnp.asarray(S), "exp"))
+    # eigh-based f(M) carries O(eps * ||f(M)||) error; scale atol accordingly
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9 * np.abs(want).max())
+
+
+def test_trace_fun_update_dense_oracle():
+    n = 40
+    A = random_graph(n, 0.15, seed=21)
+    U = np.zeros((n, 2))
+    U[3, 0] = 1.0
+    U[17, 1] = 1.0
+    B = -np.array([[0.0, 1.0], [1.0, 0.0]])
+    got = float(
+        trace_fun_update_dense(
+            jnp.asarray(A.toarray()), jnp.asarray(U), jnp.asarray(B), "exp"
+        )
+    )
+    At = A.toarray() + U @ B @ U.T
+    want = np.trace(scipy.linalg.expm(At)) - np.trace(scipy.linalg.expm(A.toarray()))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("fname", ["exp", "sinh", "cosh"])
+def test_frechet_offdiag_block_triangular(fname):
+    """Daleckii–Krein form vs dense f of the block-triangular matrix
+    (the reference's trick at multiple_frechet_eval.m:150-159)."""
+    rng = np.random.default_rng(5)
+    m, p = 12, 9
+    M1 = rng.standard_normal((m, m))
+    M1 = (M1 + M1.T) / 2
+    M2 = rng.standard_normal((p, p))
+    M2 = (M2 + M2.T) / 2
+    C = rng.standard_normal((m, p))
+    big = np.zeros((m + p, m + p))
+    big[:m, :m] = M1
+    big[:m, m:] = C
+    big[m:, m:] = M2
+    f_np = {"exp": scipy.linalg.expm,
+            "sinh": lambda X: (scipy.linalg.expm(X) - scipy.linalg.expm(-X)) / 2,
+            "cosh": lambda X: (scipy.linalg.expm(X) + scipy.linalg.expm(-X)) / 2}[fname]
+    want = f_np(big)[:m, m:]
+    got = np.asarray(
+        frechet_offdiag(jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(C), fname)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
