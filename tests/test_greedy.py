@@ -1,0 +1,170 @@
+"""Greedy break/make vs brute-force dense greedy oracle."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+
+from helpers import random_graph
+from krylov_robustness_tpu.baselines.eigenv import eigenv_edges
+from krylov_robustness_tpu.baselines.miobi import (
+    miobi_break,
+    miobi_make,
+    robustness_score,
+)
+from krylov_robustness_tpu.graphs.centrality import compute_centrality
+from krylov_robustness_tpu.graphs.top_edges import (
+    find_top_edges,
+    find_top_missing_edges,
+)
+from krylov_robustness_tpu.ops.sparse import CooMatrix
+from krylov_robustness_tpu.optimize.greedy import greedy_krylov, krylov_miobi
+
+
+def connected_random_graph(n, density, seed):
+    A = random_graph(n, density, seed=seed)
+    # add a path to guarantee connectivity
+    lil = A.tolil()
+    for i in range(n - 1):
+        lil[i, i + 1] = 1.0
+        lil[i + 1, i] = 1.0
+    return sp.csr_matrix(lil)
+
+
+def brute_force_greedy(Ad, k, mode):
+    """Exact greedy with dense recomputation of trace(exp(.))."""
+    A = Ad.copy()
+    n = A.shape[0]
+    chosen = []
+    total = 0.0
+    for _ in range(k):
+        base = np.sum(np.exp(np.linalg.eigvalsh(A)))
+        best = None
+        if mode == "break":
+            I, J = np.nonzero(np.tril(A, -1))
+        else:
+            I, J = np.nonzero(np.tril(1 - A - np.eye(n), -1))
+        for i, j in zip(I, J):
+            At = A.copy()
+            At[i, j] += -1 if mode == "break" else 1
+            At[j, i] += -1 if mode == "break" else 1
+            d = np.sum(np.exp(np.linalg.eigvalsh(At))) - base
+            if best is None or (mode == "break" and d < best[0]) or (
+                mode == "make" and d > best[0]
+            ):
+                best = (d, i, j)
+        d, i, j = best
+        A[i, j] += -1 if mode == "break" else 1
+        A[j, i] += -1 if mode == "break" else 1
+        chosen.append((i, j))
+        total += d
+    return np.array(chosen), total, A
+
+
+@pytest.mark.parametrize("mode", ["break", "make"])
+def test_krylov_miobi_matches_bruteforce(mode):
+    n, k = 60, 3
+    A = connected_random_graph(n, 0.08, seed=17)
+    Ad = A.toarray()
+    if mode == "make":
+        # candidate set = all missing edges (the reference's default E is
+        # the existing edges even for 'make'; the drivers pass missing ones)
+        I, J = np.nonzero(np.tril(1 - Ad - np.eye(n), -1))
+        E = np.stack([I, J], axis=1)
+    else:
+        E = None
+    res = krylov_miobi(A, k, E=E, mode=mode, tol=1e-8)
+    edges_bf, total_bf, _ = brute_force_greedy(Ad, k, mode)
+    # Δtrace totals must agree; edge identity may differ only on exact ties
+    np.testing.assert_allclose(res.rob_variation, total_bf, rtol=1e-5)
+
+
+def test_greedy_krylov_break_improves_and_is_consistent():
+    n, k, Q = 80, 5, 30
+    A = connected_random_graph(n, 0.06, seed=23)
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    res = greedy_krylov(A, k, Q, c, order="min", tol=1e-8, mode="break")
+    assert res.rob_variation < 0
+    assert len(res.edges) == k
+    # applying the chosen edges reproduces A_new
+    B = A.tolil()
+    for i, j in res.edges:
+        B[i, j] = 0
+        B[j, i] = 0
+    assert (sp.csr_matrix(B) != res.A_new).nnz == 0
+    # cumulative delta matches a dense evaluation of the full edit
+    d_exact = float(
+        np.sum(np.exp(np.linalg.eigvalsh(res.A_new.toarray())))
+        - np.sum(np.exp(np.linalg.eigvalsh(A.toarray())))
+    )
+    # greedy accumulates per-step deltas; these match the exact total
+    np.testing.assert_allclose(res.rob_variation, d_exact, rtol=1e-5)
+
+
+def test_greedy_krylov_make():
+    n, k, Q = 70, 4, 20
+    A = connected_random_graph(n, 0.05, seed=31)
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    res = greedy_krylov(A, k, Q, c, order="min", tol=1e-8, mode="make")
+    assert res.rob_variation > 0
+    d_exact = float(
+        np.sum(np.exp(np.linalg.eigvalsh(res.A_new.toarray())))
+        - np.sum(np.exp(np.linalg.eigvalsh(A.toarray())))
+    )
+    np.testing.assert_allclose(res.rob_variation, d_exact, rtol=1e-5)
+
+
+def test_top_edges_orders():
+    A = connected_random_graph(40, 0.1, seed=3)
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    E1 = find_top_edges(A, c, 10, "mult")
+    E2 = find_top_edges(A, c, 10, "min")
+    assert E1.shape == (10, 2) and E2.shape == (10, 2)
+    # 'mult' order: scores非increasing
+    s = c[E1[:, 0]] * c[E1[:, 1]]
+    assert np.all(np.diff(s) <= 1e-12)
+    # all returned pairs are existing edges with i > j
+    Ad = A.toarray()
+    assert np.all(Ad[E1[:, 0], E1[:, 1]] == 1)
+    assert np.all(E1[:, 0] > E1[:, 1])
+
+
+def test_top_missing_edges():
+    A = connected_random_graph(40, 0.1, seed=5)
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    E = find_top_missing_edges(A, c, 15, "min")
+    Ad = A.toarray()
+    assert E.shape == (15, 2)
+    assert np.all(Ad[E[:, 0], E[:, 1]] == 0)
+    assert np.all(E[:, 0] != E[:, 1])
+    E2 = find_top_missing_edges(A, c, 15, "mult")
+    assert np.all(Ad[E2[:, 0], E2[:, 1]] == 0)
+
+
+def test_miobi_break_decreases_robustness():
+    A = connected_random_graph(60, 0.08, seed=41)
+    res = miobi_break(A, k=5, topT=10)
+    assert res.rob_score_pct > 0  # robustness decreased
+    assert res.A_new.nnz == A.nnz - 10
+    assert len(res.edges) == 5
+
+
+def test_miobi_make_increases_robustness():
+    A = connected_random_graph(60, 0.06, seed=43)
+    res = miobi_make(A, k=5, topT=10, t_pert=10)
+    assert res.rob_score_pct < 0  # robustness increased
+    assert res.A_new.nnz == A.nnz + 10
+
+
+def test_eigenv_baseline_selects_valid_edges():
+    A = connected_random_graph(100, 0.06, seed=51)
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    E = eigenv_edges(A, c, k=8, mode="break")
+    Ad = A.toarray()
+    assert E.shape == (8, 2)
+    assert np.all(Ad[E[:, 0], E[:, 1]] == 1)

@@ -1,0 +1,97 @@
+"""Batched trace_fun_update vs dense oracle (the reference's debug==3 check,
+trace_fun_update.m:91-102, promoted to a unit test)."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+import jax.numpy as jnp
+
+from helpers import random_graph
+from krylov_robustness_tpu.funm.dense import trace_fun_update_dense
+from krylov_robustness_tpu.ops.sparse import CooMatrix
+from krylov_robustness_tpu.updates.trace_update import (
+    edge_B,
+    edge_start_blocks,
+    trace_fun_update_batched,
+    trace_fun_update_edges,
+)
+
+
+def dense_delta(A, i, j, sign, fun=np.exp):
+    At = A.copy()
+    At[i, j] += sign
+    At[j, i] += sign
+    w1 = np.linalg.eigvalsh((At + At.T) / 2)
+    w2 = np.linalg.eigvalsh((A + A.T) / 2)
+    return np.sum(fun(w1)) - np.sum(fun(w2))
+
+
+@pytest.mark.parametrize("sign", [-1.0, 1.0])
+def test_edges_match_dense(sign):
+    n = 200
+    A = random_graph(n, 0.04, seed=10)
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    rng = np.random.default_rng(4)
+    if sign < 0:
+        iu, ju = np.nonzero(np.tril(Ad, -1))
+    else:
+        iu, ju = np.nonzero(np.tril(1 - Ad, -1))
+    pick = rng.choice(len(iu), size=12, replace=False)
+    edges = np.stack([iu[pick], ju[pick]], axis=1)
+    # reference tolerance semantics: absolute, scaled by exp(||A||)
+    res = trace_fun_update_edges(M, edges, sign=sign, tol=1e-2)
+    got = np.asarray(res.delta)
+    want = np.array([dense_delta(Ad, i, j, sign) for i, j in edges])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8 * np.abs(want).max())
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+@pytest.mark.parametrize("fname,f_np", [
+    ("sinh", np.sinh),
+    ("cosh", np.cosh),
+])
+def test_other_functions(fname, f_np):
+    n = 120
+    A = random_graph(n, 0.06, seed=11)
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    edges = np.stack([iu[:6], ju[:6]], axis=1)
+    res = trace_fun_update_edges(M, edges, sign=-1.0, fun=fname, tol=1e-4)
+    want = np.array([dense_delta(Ad, i, j, -1.0, f_np) for i, j in edges])
+    np.testing.assert_allclose(
+        np.asarray(res.delta), want, rtol=1e-6, atol=1e-8 * np.abs(want).max()
+    )
+
+
+def test_general_low_rank_update():
+    """Arbitrary (U, B) rank-3 correction, as used by the edge2low_rank
+    re-scoring path (test_unweighted_break.m:93-95)."""
+    n = 150
+    A = random_graph(n, 0.05, seed=12)
+    M = CooMatrix.from_scipy(A)
+    rng = np.random.default_rng(6)
+    U = rng.standard_normal((n, 3))
+    B = rng.standard_normal((3, 3))
+    B = (B + B.T) / 2
+    res = trace_fun_update_batched(
+        M, jnp.asarray(U)[None], jnp.asarray(B)[None], tol=1e-4
+    )
+    want = float(
+        trace_fun_update_dense(jnp.asarray(A.toarray()), jnp.asarray(U), jnp.asarray(B), "exp")
+    )
+    np.testing.assert_allclose(float(res.delta[0]), want, rtol=1e-6)
+
+
+def test_rescale():
+    n = 100
+    A = random_graph(n, 0.08, seed=13)
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    edges = np.stack([iu[:4], ju[:4]], axis=1)
+    res = trace_fun_update_edges(M, edges, sign=-1.0, rescale=2.0, tol=1e-4)
+    want = np.array([dense_delta(Ad, i, j, -0.5) for i, j in edges])
+    np.testing.assert_allclose(np.asarray(res.delta), want, rtol=1e-6)
