@@ -1,0 +1,40 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-process MATLAB (SURVEY.md §2.5: no parallel backend
+whatsoever); the distributed design here is new scope. Scheme: 1-D mesh over
+a ``rows`` axis; matrices row-partitioned; vectors either replicated (outer
+Krylov API) or row-sharded (inner shard_map kernels); reductions via psum
+over ICI. Multi-host initialization goes through ``jax.distributed``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a pod launcher.
+
+    No-op in single-process environments (tests, single chip).
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str = "rows"):
+    return NamedSharding(mesh, P(axis))

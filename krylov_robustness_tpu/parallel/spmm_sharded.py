@@ -1,0 +1,128 @@
+"""Row-partitioned sparse operator over a device mesh.
+
+Scheme (SURVEY.md §2.5 / §5.8): the matrix is split into row blocks, one per
+device along the ``rows`` mesh axis; each device stores its block's entries
+as (local_row, global_col, val) padded to a uniform nnz. The SpMM is a
+``shard_map``:
+
+    x sharded by rows → all_gather over ICI → local gather+segment_sum
+    → y naturally row-sharded (no reduction needed for row partitioning)
+
+Dot products / norms inside distributed Krylov reduce with psum. The outer
+``__matmul__`` API accepts and returns *replicated* (n, b) blocks so the
+single-chip Krylov/funm layers work unchanged on top; the sharded-in /
+sharded-out kernel is exposed separately for fused distributed loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class RowShardedMatrix:
+    """Row-block-partitioned COO matrix bound to a mesh."""
+
+    mesh: Mesh
+    rows_local: jax.Array  # (D * nnz_shard,) row-sharded: local row ids
+    cols: jax.Array  # (D * nnz_shard,) global column ids
+    vals: jax.Array  # (D * nnz_shard,)
+    n: int  # global rows (padded to multiple of D)
+    n_orig: int
+    nnz: int
+    axis: str = "rows"
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.mesh.shape[self.axis]
+
+    @staticmethod
+    def from_scipy(A, mesh: Mesh, dtype=jnp.float64, axis: str = "rows"):
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n_orig = A.shape[0]
+        D = mesh.shape[axis]
+        n = _round_up(n_orig, D)
+        rps = n // D
+        C = sp.coo_matrix(A)
+        order = np.argsort(C.row, kind="stable")
+        rows, cols, vals = C.row[order], C.col[order], C.data[order]
+        shard_of = rows // rps
+        nnz_shard = max(int(np.bincount(shard_of, minlength=D).max()), 1)
+        r_l = np.zeros((D, nnz_shard), np.int32)
+        c_l = np.zeros((D, nnz_shard), np.int32)
+        v_l = np.zeros((D, nnz_shard), np.float64)
+        fill = np.zeros(D, np.int64)
+        for r, c, v in zip(rows, cols, vals):
+            s = r // rps
+            k = fill[s]
+            r_l[s, k] = r - s * rps
+            c_l[s, k] = c
+            v_l[s, k] = v
+            fill[s] = k + 1
+        sh = NamedSharding(mesh, P(axis))
+        return RowShardedMatrix(
+            mesh=mesh,
+            rows_local=jax.device_put(jnp.asarray(r_l.reshape(-1)), sh),
+            cols=jax.device_put(jnp.asarray(c_l.reshape(-1)), sh),
+            vals=jax.device_put(jnp.asarray(v_l.reshape(-1), dtype=dtype), sh),
+            n=n,
+            n_orig=n_orig,
+            nnz=int(A.nnz),
+            axis=axis,
+        )
+
+    # ---- sharded-in / sharded-out kernel ---------------------------------
+    def spmm_sharded(self, x_sharded: jax.Array) -> jax.Array:
+        """x (n, b) row-sharded → y (n, b) row-sharded."""
+        axis = self.axis
+        rps = self.rows_per_shard
+
+        def kern(rows_l, cols, vals, x_l):
+            x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
+            contrib = vals[:, None] * x_full[cols]
+            return jax.ops.segment_sum(contrib, rows_l, num_segments=rps)
+
+        f = shard_map(
+            kern,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+        return f(self.rows_local, self.cols, self.vals, x_sharded)
+
+    # ---- replicated convenience API (drop-in for CooMatrix) --------------
+    def matmul(self, x: jax.Array) -> jax.Array:
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        n_in, b = x.shape
+        if n_in != self.n:
+            x = jnp.pad(x, ((0, self.n - n_in), (0, 0)))
+        y = self.spmm_sharded(x)
+        y = y[: n_in]
+        return y[:, 0] if squeeze else y
+
+    def __matmul__(self, x):
+        return self.matmul(x)
+
+
+def psum_dot(a: jax.Array, b: jax.Array, axis: str = "rows") -> jax.Array:
+    """Inner product of row-sharded blocks (call inside shard_map)."""
+    return jax.lax.psum(jnp.sum(a * b), axis)
