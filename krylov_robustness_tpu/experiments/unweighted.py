@@ -1,0 +1,177 @@
+"""Unweighted break/make experiment drivers.
+
+Reproduce the protocol of ``Tests/test_unweighted_break.m`` /
+``test_unweighted_make.m`` (paper §5.1-5.2, Tables 2-3) and the budget
+sweeps (``test_unweighted_*_budget.m``, Figures 1-4): per dataset —
+preprocess, estimate exp(‖A‖) and trace(exp(A)), eig centrality, run
+GREEDY_KRYLOV, MIOBI (rescored through trace_fun_update), EIGENV (rescored),
+record edge-pick intersections, stream CSV/JSONL rows with the reference's
+exact column schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..baselines.eigenv import eigenv_edges
+from ..baselines.miobi import miobi_break, miobi_make
+from ..funm.normest import normest2
+from ..funm.trace import trace_exp
+from ..graphs.centrality import compute_centrality
+from ..graphs.io import (
+    MISC_PAPER_SET,
+    TRANSPORT_PAPER_SET,
+    load_misc,
+    load_transport,
+)
+from ..graphs.preprocess import preprocess_unweighted
+from ..ops.sparse import CooMatrix
+from ..optimize.greedy import greedy_krylov
+from ..updates.low_rank import edge2low_rank
+from ..updates.trace_update import trace_fun_update_batched
+from ..utils.config import UnweightedConfig
+from ..utils.logging import ResultLog, Timer
+
+
+def rescore_edges(M, edges: np.ndarray, sign: float, tol: float) -> float:
+    """Uniform re-scoring of a joint edge edit through trace_fun_update —
+    the cross-method evaluator invariant (``test_unweighted_break.m:93-95``)."""
+    U, B, _ = edge2low_rank(edges, M.n, sign=sign)
+    res = trace_fun_update_batched(
+        M, jnp.asarray(U, dtype=M.dtype)[None],
+        jnp.asarray(B, dtype=M.dtype)[None], tol=tol,
+    )
+    return float(res.delta[0])
+
+
+def _intersections(gkb: np.ndarray, miobi: np.ndarray, eigenv: np.ndarray):
+    def rows(E):
+        return {tuple(sorted(map(int, e))) for e in E}
+
+    a, b, c = rows(gkb), rows(miobi), rows(eigenv)
+    return [len(a & b), len(a & c), len(b & c), len(a & b & c)]
+
+
+def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
+                dtype=jnp.float64, checkpoint=None, verbose=True):
+    A = preprocess_unweighted(A_raw)
+    n = A.shape[0]
+    m = A.nnz // 2
+    M = CooMatrix.from_scipy(A, dtype=dtype)
+
+    nrm = float(np.exp(float(normest2(M, tol=1e-2))))
+    trexp = trace_exp(M)
+    timer = Timer()
+    centrality = compute_centrality(M, cfg.centrality)
+    time_centrality = timer.lap()
+    tol_abs = cfg.tol * nrm
+    sign = -1.0 if cfg.mode == "break" else +1.0
+    if verbose:
+        print(f"Dataset: {name}\t n: {n}\t budget: {cfg.k}\t ||exp(A)||={nrm:.1e}")
+
+    # ---- GREEDY_KRYLOV ---------------------------------------------------
+    Q = min(m - cfg.k, cfg.Q) if cfg.mode == "break" else cfg.Q
+    timer.lap()
+    res = greedy_krylov(
+        A, cfg.k, Q, centrality, order=cfg.order, tol=tol_abs,
+        mode=cfg.mode, dtype=dtype, checkpoint=checkpoint, dataset=name,
+    )
+    t_gkb = timer.lap() + time_centrality
+    log.append(
+        method=f"GREEDY_KRYLOV_{cfg.mode.upper()}", dataset=name, n=n, m=m,
+        searchspace_size=Q + cfg.k, centrality_order=cfg.order, time=t_gkb,
+        tr_variation=res.rob_variation / trexp, budget_size=cfg.k,
+    )
+
+    # ---- MIOBI (rescored) --------------------------------------------------
+    timer.lap()
+    if cfg.mode == "break":
+        mi = miobi_break(A, cfg.k, topT=cfg.miobi_eigs)
+    else:
+        mi = miobi_make(A, cfg.k, topT=cfg.miobi_eigs)
+    delta_miobi = rescore_edges(M, mi.edges, sign, tol_abs)
+    t_miobi = timer.lap() + time_centrality
+    log.append(
+        method="MIOBI", dataset=name, n=n, m=m, searchspace_size=m,
+        centrality_order="--", time=t_miobi,
+        tr_variation=delta_miobi / trexp, budget_size=cfg.k,
+    )
+
+    # ---- EIGENV (rescored) --------------------------------------------------
+    timer.lap()
+    ev = eigenv_edges(A, centrality, cfg.k, mode=cfg.mode)
+    delta_ev = rescore_edges(M, ev, sign, tol_abs)
+    t_ev = timer.lap() + time_centrality
+    log.append(
+        method="EIGENV", dataset=name, n=n, m=m, searchspace_size=cfg.k,
+        centrality_order="mult", time=t_ev,
+        tr_variation=delta_ev / trexp, budget_size=cfg.k,
+    )
+
+    inter = _intersections(res.edges, mi.edges, ev)
+    if verbose:
+        print(
+            f"  GKB={res.rob_variation / trexp:.4e} MIOBI={delta_miobi / trexp:.4e} "
+            f"EIGENV={delta_ev / trexp:.4e} common: {inter}"
+        )
+    return {
+        "greedy": res, "miobi": mi, "eigenv_edges": ev,
+        "intersections": inter, "trexp": trexp, "nrm": nrm,
+    }
+
+
+def run_paper_suite(cfg: UnweightedConfig | None = None,
+                    out_dir: str = "results", collections=("misc", "transport"),
+                    datasets: list[str] | None = None, dtype=jnp.float64):
+    """Full Table-2/3 protocol over the paper's 22 unweighted graphs."""
+    cfg = cfg or UnweightedConfig()
+    log = ResultLog(out_dir, f"unweighted_{cfg.mode}")
+    results = {}
+    names = []
+    if datasets is not None:
+        names = [("custom", d) for d in datasets]
+    else:
+        if "misc" in collections:
+            names += [("misc", d) for d in MISC_PAPER_SET]
+        if "transport" in collections:
+            names += [("transport", d) for d in TRANSPORT_PAPER_SET]
+    for coll, name in names:
+        A = load_misc(name) if coll == "misc" else load_transport(name)
+        results[name] = run_dataset(A, name, cfg, log, dtype=dtype)
+    return results, log
+
+
+def run_budget_sweep(names: list[str], budgets, search_spaces,
+                     mode: str = "break", tol: float = 1e-6,
+                     out_dir: str = "results", dtype=jnp.float64):
+    """Budget sweep protocol (``test_unweighted_break_budget.m``): reuse one
+    k=max(budgets) greedy run per (dataset, Q) and read prefixes — the greedy
+    sequence for budget k is the first k steps of the budget-100 sequence."""
+    log = ResultLog(out_dir, f"unweighted_{mode}_budget")
+    out = {}
+    for name in names:
+        A = preprocess_unweighted(load_transport(name))
+        M = CooMatrix.from_scipy(A, dtype=dtype)
+        nrm = float(np.exp(float(normest2(M, tol=1e-2))))
+        trexp = trace_exp(M)
+        centrality = compute_centrality(M, "eig")
+        kmax = max(budgets)
+        for Q in search_spaces:
+            Qe = min(A.nnz // 2 - kmax, Q)
+            res = greedy_krylov(
+                A, kmax, Qe, centrality, order="min", tol=tol * nrm,
+                mode=mode, dtype=dtype,
+            )
+            cum = np.cumsum(res.per_step_delta)
+            for k in budgets:
+                log.append(
+                    method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
+                    n=A.shape[0], m=A.nnz // 2, searchspace_size=Qe + kmax,
+                    centrality_order="min", time=0.0,
+                    tr_variation=float(cum[k - 1]) / trexp, budget_size=k,
+                )
+            out[(name, Q)] = res
+    return out, log

@@ -171,6 +171,8 @@ def greedy_krylov(
     rescale: float = 1.0,
     fun="exp",
     dtype=jnp.float64,
+    checkpoint=None,
+    dataset: str = "",
 ) -> GreedyResult:
     """Adaptive-search-space greedy (``functions/greedy_krylov.m``): select the
     top Q+k candidates by centrality once, then per budget step re-score the
@@ -199,7 +201,21 @@ def greedy_krylov(
     deltas = []
     iters = []
     rob = 0.0
-    for step in range(k):
+    start_step = 0
+    if checkpoint is not None:
+        state = checkpoint.load(dataset)
+        if state is not None:
+            # replay recorded progress: apply edits, shrink the search space
+            for i, j in state["edges"]:
+                F.set_edge(int(i), int(j), 0.0 if mode == "break" else 1.0 / rescale)
+                keep = ~((top[:, 0] == i) & (top[:, 1] == j))
+                top = top[keep]
+                chosen.append((int(i), int(j)))
+            rob = state["rob_variation"]
+            start_step = state["step"]
+            deltas = state["extra"].get("deltas", [0.0] * start_step)
+            iters = state["extra"].get("iters", [0] * start_step)
+    for step in range(start_step, k):
         E = top[:Q]
         res = trace_fun_update_edges(
             F.mat, E, sign=sign, fun=fun, tol=tol, rescale=rescale,
@@ -216,6 +232,11 @@ def greedy_krylov(
         # drop the chosen edge from the search space (greedy_krylov.m:68-71)
         keep = ~((top[:, 0] == i) & (top[:, 1] == j))
         top = top[keep]
+        if checkpoint is not None:
+            checkpoint.save(dataset, step + 1, chosen, rob,
+                            extra={"deltas": deltas, "iters": iters})
+    if checkpoint is not None:
+        checkpoint.clear()
     return GreedyResult(
         edges=np.asarray(chosen, dtype=np.int64).reshape(-1, 2),
         rob_variation=rob,

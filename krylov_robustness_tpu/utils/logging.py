@@ -1,0 +1,84 @@
+"""Structured result logging (SURVEY.md §5.5).
+
+The reference streams a cumulative CSV after every dataset
+(``test_unweighted_break.m:150-151``) with columns
+(method, dataset, n, m, searchspace_size, centrality_order, time,
+tr_variation, budget_size). We keep that exact schema for row-for-row
+comparability, and additionally write JSONL for machine consumption.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+UNWEIGHTED_COLUMNS = [
+    "method", "dataset", "n", "m", "searchspace_size", "centrality_order",
+    "time", "tr_variation", "budget_size",
+]
+
+
+class ResultLog:
+    """Append-only result table with CSV + JSONL streaming."""
+
+    def __init__(self, out_dir: str | Path, name: str,
+                 columns: list[str] | None = None):
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.columns = columns or UNWEIGHTED_COLUMNS
+        stamp = time.strftime("%Y-%m-%d")
+        self.csv_path = self.out_dir / f"results_{name}_{stamp}.csv"
+        self.jsonl_path = self.out_dir / f"results_{name}_{stamp}.jsonl"
+        self.rows: list[dict] = []
+
+    def append(self, **row):
+        self.rows.append(row)
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(row, default=_json_default) + "\n")
+        # rewrite the cumulative CSV (the reference overwrites per dataset)
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self.columns, extrasaction="ignore")
+            w.writeheader()
+            for r in self.rows:
+                w.writerow(r)
+
+    def __len__(self):
+        return len(self.rows)
+
+
+def _json_default(o):
+    import numpy as np
+
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if dataclasses.is_dataclass(o):
+        return dataclasses.asdict(o)
+    return str(o)
+
+
+class Timer:
+    """Wall-clock phase timing (the reference's tic/toc blocks,
+    ``test_unweighted_break.m:62-76``)."""
+
+    def __init__(self):
+        self.t0 = time.time()
+
+    def lap(self) -> float:
+        now = time.time()
+        dt = now - self.t0
+        self.t0 = now
+        return dt
+
+
+def trace_annotation(name: str):
+    """jax.profiler annotation context (SURVEY.md §5.1)."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
