@@ -50,6 +50,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _banded_kernel(relT_ref, winT_ref, valT_ref, *window_refs_and_out,
                    num_windows: int, K: int):
+    """Per (slot k, window w): one (b_tile, 128) lane-gather + masked FMA
+    into a register accumulator. (A scalar-prefetch bitmap skip of inactive
+    pairs was measured SLOWER — per-pair VMEM read-modify-write on the
+    output loses to straight-line register accumulation.)"""
     window_refs = window_refs_and_out[:-1]
     yt_ref = window_refs_and_out[-1]
     b_tile = yt_ref.shape[0]
@@ -60,16 +64,17 @@ def _banded_kernel(relT_ref, winT_ref, valT_ref, *window_refs_and_out,
         val = valT_ref[k, :][None, :]
         win = winT_ref[k, :][None, :]
         for w in range(num_windows):
-            src = window_refs[w][:]
-            g = jnp.take_along_axis(src, idxb, axis=1,
+            g = jnp.take_along_axis(window_refs[w][:], idxb, axis=1,
                                     mode="promise_in_bounds")
             acc = acc + jnp.where(win == w, val, 0.0) * g
     yt_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("num_windows", "K", "b_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("num_windows", "K", "b_tile", "interpret")
+)
 def _banded_spmm(relT, winT, valT, xt_pad, num_windows: int, K: int,
-                 b_tile: int):
+                 b_tile: int, interpret: bool = False):
     """Each of the ``num_windows`` shifted views of xt_pad is passed as its
     own input whose 128-lane block index tracks the chunk — Pallas pipelines
     4 KB window DMAs instead of re-fetching the whole x per chunk."""
@@ -98,6 +103,7 @@ def _banded_spmm(relT, winT, valT, xt_pad, num_windows: int, K: int,
         ] + [win_spec(w) for w in range(num_windows)],
         out_specs=pl.BlockSpec((b_tile, 128), lambda c, i: (i, c),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(relT, winT, valT, *([xt_pad] * num_windows))
 
 
@@ -110,8 +116,11 @@ class BandedEllOperator:
     containers, plus ``update_vals`` for the greedy frozen-structure path.
     """
 
-    def __init__(self, A_scipy, dtype=jnp.float32, b_tile: int = 8):
+    def __init__(self, A_scipy, dtype=jnp.float32, b_tile: int = 8,
+                 interpret: bool = False):
         import scipy.sparse as sp
+
+        self.interpret = interpret
 
         A = sp.csr_matrix(A_scipy)
         n = A.shape[0]
@@ -129,31 +138,30 @@ class BandedEllOperator:
         self.Wv = Wv - 1
 
         rel = np.zeros((K, n_lanes), np.int32)
-        win = np.zeros((K, n_lanes), np.int32)
+        win = np.full((K, n_lanes), self.Wv, np.int32)  # padding: own chunk
         val = np.zeros((K, n_lanes), np.float64)
-        # padding slots: self-column (always within window Wv-1? use own chunk)
         lanes = np.arange(n_lanes)
         rel[:] = (lanes % 128)[None, :]
-        win[:] = self.Wv  # own chunk, zero value
-        slot_of_entry = np.zeros(self.nnz, np.int64)
-        fill = np.zeros(n, np.int64)
-        for e in range(self.nnz):
-            r = C.row[e]
-            k = fill[r]
-            fill[r] = k + 1
-            slot_of_entry[e] = k
-        rows = C.row
-        cols = C.col
-        ks = slot_of_entry
+        # slot within row = entry index − row start (CSR-ordered entries)
+        order = np.lexsort((C.col, C.row))
+        rows = C.row[order]
+        cols = C.col[order]
+        data = C.data[order]
+        indptr = np.zeros(n + 1, np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        ks = np.arange(self.nnz, dtype=np.int64) - indptr[rows]
+        ws = (cols // 128 - rows // 128 + self.Wv).astype(np.int64)
+        assert ws.min() >= 0 and ws.max() < self.num_windows, (
+            ws.min(), ws.max(), self.num_windows)
         rel[ks, rows] = (cols % 128).astype(np.int32)
-        win[ks, rows] = (cols // 128 - rows // 128 + self.Wv).astype(np.int32)
-        val[ks, rows] = C.data
-        assert win.min() >= 0 and win.max() < self.num_windows, (
-            win.min(), win.max(), self.num_windows)
+        win[ks, rows] = ws.astype(np.int32)
+        val[ks, rows] = data
 
         self.K = K
         self.n_lanes = n_lanes
-        self._entry_pos = (ks, rows)  # for update_vals
+        self._entry_pos = (ks, rows)  # for update_entry_values
+        self._entry_cols = cols
         self.relT = jnp.asarray(rel)
         self.winT = jnp.asarray(win)
         self.valT = jnp.asarray(val, dtype=dtype)
@@ -163,13 +171,31 @@ class BandedEllOperator:
         return (self.n, self.n)
 
     def update_entry_values(self, entry_indices: np.ndarray, values) -> None:
-        """Set values of specific nnz entries (COO order) on device."""
+        """Set values of specific nnz entries (CSR order) on device."""
         ks, rows = self._entry_pos
         ks = ks[entry_indices]
         rows = rows[entry_indices]
-        self.valT = self.valT.at[jnp.asarray(ks), jnp.asarray(rows)].set(
-            jnp.asarray(values, dtype=self.dtype)
-        )
+        self.valT = self.valT.at[
+            jnp.asarray(ks), jnp.asarray(rows)
+        ].set(jnp.asarray(values, dtype=self.dtype))
+
+    def entry_index(self, i: int, j: int) -> int:
+        """CSR-order entry index of (i, j); builds the lookup lazily."""
+        if not hasattr(self, "_entry_lookup"):
+            ks, rows = self._entry_pos
+            cols = self._entry_cols
+            self._entry_lookup = {
+                (int(r), int(c)): e
+                for e, (r, c) in enumerate(zip(rows.tolist(), cols.tolist()))
+            }
+        return self._entry_lookup[(i, j)]
+
+    def set_edge(self, i: int, j: int, value: float) -> None:
+        """Symmetric edge edit in place (frozen structure)."""
+        idx = [self.entry_index(i, j)]
+        if i != j:
+            idx.append(self.entry_index(j, i))
+        self.update_entry_values(np.asarray(idx), np.full(len(idx), value))
 
     def matmul(self, x: jax.Array) -> jax.Array:
         squeeze = x.ndim == 1
@@ -183,6 +209,7 @@ class BandedEllOperator:
         yt = _banded_spmm(
             self.relT, self.winT, self.valT, xt,
             self.num_windows, self.K, self.b_tile,
+            interpret=self.interpret,
         )
         y = yt[:b, :n].T.astype(x.dtype)
         return y[:, 0] if squeeze else y

@@ -94,6 +94,45 @@ class _FrozenStructureMatrix:
         out.eliminate_zeros()
         return out
 
+    @property
+    def operator(self):
+        return self.mat
+
+    def map_edges(self, E: np.ndarray) -> np.ndarray:
+        return E
+
+
+class _BandedAdapter:
+    """Greedy-facing adapter over the RCM-permuted Pallas operator: maps
+    original node ids through the permutation for scoring and edits."""
+
+    def __init__(self, op, pinv: np.ndarray):
+        self.op = op
+        self.pinv = pinv
+
+    @property
+    def operator(self):
+        return self.op
+
+    def map_edges(self, E: np.ndarray) -> np.ndarray:
+        return self.pinv[np.asarray(E)]
+
+    def set_edge(self, i: int, j: int, value: float):
+        self.op.set_edge(int(self.pinv[i]), int(self.pinv[j]), value)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        ks, rows = self.op._entry_pos
+        cols = self.op._entry_cols
+        vals = np.asarray(self.op.valT)[ks, rows]
+        perm = np.empty_like(self.pinv)
+        perm[self.pinv] = np.arange(len(self.pinv))
+        out = sp.coo_matrix(
+            (vals, (perm[rows], perm[cols])),
+            shape=(self.op.n, self.op.n),
+        ).tocsr()
+        out.eliminate_zeros()
+        return out
+
 
 def krylov_miobi(
     A: sp.spmatrix,
@@ -137,8 +176,8 @@ def krylov_miobi(
     alive = np.ones(len(E), dtype=bool)
     for _ in range(k_eff):
         res = trace_fun_update_edges(
-            F.mat, E, sign=sign, fun=fun, tol=tol, rescale=rescale,
-            schedule=schedule,
+            F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
+            rescale=rescale, schedule=schedule,
         )
         scores = np.asarray(res.delta).copy()
         scores[~alive] = np.inf if mode == "break" else -np.inf
@@ -173,6 +212,7 @@ def greedy_krylov(
     dtype=jnp.float64,
     checkpoint=None,
     dataset: str = "",
+    backend: str = "auto",
 ) -> GreedyResult:
     """Adaptive-search-space greedy (``functions/greedy_krylov.m``): select the
     top Q+k candidates by centrality once, then per budget step re-score the
@@ -180,7 +220,14 @@ def greedy_krylov(
 
     The candidate list is computed on the ORIGINAL graph at step 1 and only
     shrinks by the chosen edge afterwards (``greedy_krylov.m:64-93``).
+
+    ``backend``: 'coo' (XLA gather/segment-sum), 'banded' (RCM + Pallas lane
+    gather, break mode on TPU), or 'auto'. The banded operator works in a
+    relabeled node space; candidate selection and reported edges stay in the
+    original labeling.
     """
+    import jax
+
     A = sp.csr_matrix(A, copy=True)
     if Q is None or Q == 0:
         Q = int(A.sum(axis=0).max())
@@ -193,9 +240,31 @@ def greedy_krylov(
         top = find_top_edges(A, centrality, Q + k, order)
 
     sign = -1.0 if mode == "break" else +1.0
-    # freeze structure once for the whole sweep (additions pre-allocated)
-    F = _FrozenStructureMatrix(A, extra_edges=top if mode == "make" else None,
-                               dtype=dtype)
+
+    use_banded = False
+    if backend in ("auto", "banded") and mode == "break":
+        from ..ops.pallas_spmm import rcm_bandwidth, rcm_permutation
+
+        if backend == "banded" or jax.default_backend() == "tpu":
+            perm = rcm_permutation(A)
+            bw = rcm_bandwidth(A, perm)
+            use_banded = 2 * ((bw + 127) // 128 + 1) - 1 <= 17
+
+    if use_banded:
+        from ..ops.pallas_spmm import BandedEllOperator
+
+        pinv = np.empty_like(perm)
+        pinv[perm] = np.arange(len(perm))
+        Ap = A[perm, :].tocsc()[:, perm].tocsr()
+        interpret = jax.default_backend() != "tpu"
+        F = _BandedAdapter(
+            BandedEllOperator(Ap, dtype=dtype, interpret=interpret), pinv
+        )
+    else:
+        # freeze structure once for the sweep (additions pre-allocated)
+        F = _FrozenStructureMatrix(
+            A, extra_edges=top if mode == "make" else None, dtype=dtype
+        )
 
     chosen = []
     deltas = []
@@ -218,8 +287,8 @@ def greedy_krylov(
     for step in range(start_step, k):
         E = top[:Q]
         res = trace_fun_update_edges(
-            F.mat, E, sign=sign, fun=fun, tol=tol, rescale=rescale,
-            schedule=schedule,
+            F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
+            rescale=rescale, schedule=schedule,
         )
         scores = np.asarray(res.delta)
         h = int(np.argmin(scores) if mode == "break" else np.argmax(scores))

@@ -123,7 +123,7 @@ def test_top_edges_orders():
     E1 = find_top_edges(A, c, 10, "mult")
     E2 = find_top_edges(A, c, 10, "min")
     assert E1.shape == (10, 2) and E2.shape == (10, 2)
-    # 'mult' order: scores非increasing
+    # 'mult' order: scores non-increasing
     s = c[E1[:, 0]] * c[E1[:, 1]]
     assert np.all(np.diff(s) <= 1e-12)
     # all returned pairs are existing edges with i > j
@@ -168,3 +168,30 @@ def test_eigenv_baseline_selects_valid_edges():
     Ad = A.toarray()
     assert E.shape == (8, 2)
     assert np.all(Ad[E[:, 0], E[:, 1]] == 1)
+
+
+def test_greedy_banded_backend_matches_coo():
+    """backend='banded' (interpret mode on CPU) must reproduce the COO path."""
+    import scipy.sparse as sp
+
+    n = 120
+    rng = np.random.default_rng(8)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 60)])
+    dst = np.concatenate([i + 1, 0 * np.arange(60)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 60)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    r_coo = greedy_krylov(A, 3, 12, c, order="min", tol=1e-8, mode="break",
+                          backend="coo")
+    r_band = greedy_krylov(A, 3, 12, c, order="min", tol=1e-8, mode="break",
+                           backend="banded")
+    np.testing.assert_array_equal(r_coo.edges, r_band.edges)
+    np.testing.assert_allclose(r_coo.rob_variation, r_band.rob_variation,
+                               rtol=1e-10)
+    assert (r_coo.A_new != r_band.A_new).nnz == 0
