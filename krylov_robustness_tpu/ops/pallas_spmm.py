@@ -107,14 +107,48 @@ def _banded_spmm(relT, winT, valT, xt_pad, num_windows: int, K: int,
     )(relT, winT, valT, *([xt_pad] * num_windows))
 
 
+class _HostMeta:
+    """Hashable-by-identity holder for host-side packing metadata, so the
+    operator can sit in jit aux data without hashing numpy arrays. One
+    operator instance per sweep → stable compile cache."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@jax.tree_util.register_pytree_node_class
 class BandedEllOperator:
     """RCM-banded Pallas SpMM operator over a fixed sparsity structure.
 
     Works in *permuted* node space: build with the already-RCM-permuted
     matrix (see :func:`make_operator` which handles the reordering and
     bandwidth check). Exposes ``__matmul__`` on (n, b) blocks like the XLA
-    containers, plus ``update_vals`` for the greedy frozen-structure path.
+    containers, plus ``update_entry_values``/``set_edge`` for the greedy
+    frozen-structure path. Registered as a pytree (tables are leaves) so it
+    passes through jit; value updates don't retrace.
     """
+
+    def tree_flatten(self):
+        return (self.relT, self.winT, self.valT), (
+            self.n, self.nnz, self.dtype, self.b_tile, self.interpret,
+            self.num_windows, self.Wv, self.K, self.n_lanes, self._meta,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.relT, obj.winT, obj.valT) = children
+        (obj.n, obj.nnz, obj.dtype, obj.b_tile, obj.interpret,
+         obj.num_windows, obj.Wv, obj.K, obj.n_lanes, obj._meta) = aux
+        obj._entry_pos = obj._meta.entry_pos
+        obj._entry_cols = obj._meta.entry_cols
+        return obj
 
     def __init__(self, A_scipy, dtype=jnp.float32, b_tile: int = 8,
                  interpret: bool = False):
@@ -162,6 +196,7 @@ class BandedEllOperator:
         self.n_lanes = n_lanes
         self._entry_pos = (ks, rows)  # for update_entry_values
         self._entry_cols = cols
+        self._meta = _HostMeta(entry_pos=self._entry_pos, entry_cols=cols)
         self.relT = jnp.asarray(rel)
         self.winT = jnp.asarray(win)
         self.valT = jnp.asarray(val, dtype=dtype)

@@ -30,9 +30,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class RowShardedMatrix:
-    """Row-block-partitioned COO matrix bound to a mesh."""
+    """Row-block-partitioned COO matrix bound to a mesh. Registered pytree
+    (index/value arrays are leaves) so it passes through jit."""
+
+    def tree_flatten(self):
+        return (self.rows_local, self.cols, self.vals), (
+            self.mesh, self.n, self.n_orig, self.nnz, self.axis,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows_local, cols, vals = children
+        mesh, n, n_orig, nnz, axis = aux
+        return cls(mesh=mesh, rows_local=rows_local, cols=cols, vals=vals,
+                   n=n, n_orig=n_orig, nnz=nnz, axis=axis)
 
     mesh: Mesh
     rows_local: jax.Array  # (D * nnz_shard,) row-sharded: local row ids

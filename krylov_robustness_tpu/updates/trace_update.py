@@ -10,13 +10,15 @@ matrix. Here the whole candidate set is evaluated in ONE device program:
 * the projected trace differences come from **batched eigh** of the small
   tridiagonal projections,
 * the reference's lag-2 stopping rule (``trace_fun_update.m:57-59,103-118``)
-  becomes a *checkpoint schedule*: the recurrence runs in jitted rounds of
-  static size, convergence is checked per candidate at round boundaries
-  (X_m vs X_{m−2}), and converged values freeze while stragglers continue —
-  trading the reference's per-edge dynamic loop for straight-line compiled
-  code plus masks.
+  becomes a *checkpoint schedule*: the recurrence runs in jitted PHASES, each
+  phase containing several checkpoint rounds traced straight-line (one
+  compile per phase, not per round); convergence is checked per candidate at
+  round boundaries (X_m vs X_{m−lag}) inside the phase, and the host only
+  decides between phases whether stragglers remain. Converged values freeze
+  while stragglers continue — trading the reference's per-edge dynamic loop
+  for compiled code plus masks.
 * the reference's dense small-n fast path (``trace_fun_update.m:37-51``) is
-  kept verbatim in spirit: below ``dense_cutoff`` we eigh A directly.
+  exposed as :func:`trace_fun_update_single`.
 
 Zero-padding correctness: dead/converged candidates emit zero blocks, which
 append *identical* decoupled zero eigenvalues to both tGm and Gm — their f
@@ -37,6 +39,7 @@ import numpy as np
 from ..funm.dense import trace_fun_difference_eigs, trace_fun_update_dense
 from ..funm.scalar import get_fun
 from ..krylov.lanczos import (
+    LanczosBlocks,
     LanczosState,
     assemble_tridiag,
     lanczos_continue,
@@ -44,6 +47,9 @@ from ..krylov.lanczos import (
 )
 
 DEFAULT_SCHEDULE = (6, 6, 8, 12, 20, 28, 20)  # cumulative 100 = reference max it
+# rounds per jitted phase: phase 1 = rounds covering the common convergence
+# range; later phases only run for stragglers
+DEFAULT_PHASES = (3, 2, 2)
 
 
 def edge_start_blocks(n: int, edges: jax.Array, dtype) -> jax.Array:
@@ -73,8 +79,6 @@ def edge_B(edges: jax.Array, sign: float, rescale: float, dtype) -> jax.Array:
 def _delta_trace_at(blocks_h, blocks_beta, Cm, m_total: int, bs: int,
                     fun_name: str):
     """Δtrace from the first ``m_total`` recurrence steps (batched eigh)."""
-    from ..krylov.lanczos import LanczosBlocks
-
     blocks = LanczosBlocks(
         h=blocks_h[:m_total], beta=blocks_beta[:m_total],
         lucky_step=jnp.zeros(blocks_h.shape[1], jnp.int32),
@@ -85,7 +89,44 @@ def _delta_trace_at(blocks_h, blocks_beta, Cm, m_total: int, bs: int,
     tG = G.at[:, :k, :k].add((Cm + jnp.swapaxes(Cm, -1, -2)) / 2)
     d1 = jnp.linalg.eigvalsh(tG)
     d2 = jnp.linalg.eigvalsh(G)
-    return trace_fun_difference_eigs(jnp.sort(d1), jnp.sort(d2), fun_name)
+    return trace_fun_difference_eigs(d1, d2, fun_name)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rounds", "m_prev", "bs", "fun_name", "lag"),
+)
+def _phase(A, state: LanczosState, h_prev, beta_prev, Cm, tol,
+           delta, iters, converged,
+           rounds: tuple, m_prev: int, bs: int, fun_name: str, lag: int):
+    """One jitted phase: several checkpoint rounds traced straight-line.
+
+    Extends the recurrence by sum(rounds) steps; at each round boundary
+    computes the lag test and freezes newly-converged candidates.
+    """
+    h_all = [h_prev] if m_prev else []
+    beta_all = [beta_prev] if m_prev else []
+    m_done = m_prev
+    for steps in rounds:
+        blocks, state = lanczos_continue(A, state, steps)
+        h_all.append(blocks.h)
+        beta_all.append(blocks.beta)
+        m_done += steps
+        H = jnp.concatenate(h_all, axis=0) if len(h_all) > 1 else h_all[0]
+        Bt = jnp.concatenate(beta_all, axis=0) if len(beta_all) > 1 else beta_all[0]
+        x_lag = _delta_trace_at(H, Bt, Cm, m_done - lag, bs, fun_name)
+        x_now = _delta_trace_at(H, Bt, Cm, m_done, bs, fun_name)
+        err = jnp.abs(x_now - x_lag)
+        dead = jnp.logical_not(state.alive)
+        newly = jnp.logical_and(
+            jnp.logical_not(converged), jnp.logical_or(err < tol, dead)
+        )
+        delta = jnp.where(converged, delta, x_now)
+        iters = jnp.where(converged, iters, m_done)
+        converged = jnp.logical_or(converged, newly)
+    H = jnp.concatenate(h_all, axis=0) if len(h_all) > 1 else h_all[0]
+    Bt = jnp.concatenate(beta_all, axis=0) if len(beta_all) > 1 else beta_all[0]
+    return state, H, Bt, delta, iters, converged
 
 
 @dataclasses.dataclass
@@ -103,12 +144,15 @@ def trace_fun_update_batched(
     tol: float = 1e-12,
     schedule: Sequence[int] = DEFAULT_SCHEDULE,
     lag: int = 2,
+    phases: Sequence[int] = DEFAULT_PHASES,
 ) -> TraceUpdateResult:
     """Batched trace(f(A + U B Uᵀ) − f(A)).
 
     Parameters mirror ``functions/trace_fun_update.m``; ``schedule`` is the
     round structure replacing the per-iteration dynamic stopping (its sum is
-    the reference's ``it`` cap). U0: (batch, n, bs); B: (batch, bs, bs).
+    the reference's ``it`` cap); ``phases`` groups rounds into jitted
+    programs — later phases run only if stragglers remain. U0: (batch, n,
+    bs); B: (batch, bs, bs).
     """
     fun = get_fun(fun)
     batch, n, bs = U0.shape
@@ -117,33 +161,31 @@ def trace_fun_update_batched(
     state, R0 = lanczos_start(A, U0)
     Cm = jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0)
 
-    h_all = []
-    beta_all = []
-    m_done = 0
+    # partition the schedule into phases
+    phase_rounds = []
+    idx = 0
+    for p in phases:
+        chunk = tuple(schedule[idx:idx + p])
+        if chunk:
+            phase_rounds.append(chunk)
+        idx += p
+    rest = tuple(schedule[idx:])
+    if rest:
+        phase_rounds.append(rest)
+
     delta = jnp.zeros((batch,), dtype)
-    prev_check = None  # Δtrace at m_done - lag (for the lag test)
     iters = jnp.zeros((batch,), jnp.int32)
     converged = jnp.zeros((batch,), bool)
-
-    for round_steps in schedule:
-        # run `lag` steps short, checkpoint, then the remaining steps — so the
-        # lag comparison uses exactly X_{m} vs X_{m-lag} like the reference.
-        blocks, state = lanczos_continue(A, state, round_steps)
-        h_all.append(blocks.h)
-        beta_all.append(blocks.beta)
-        m_done += round_steps
-        H = jnp.concatenate(h_all, axis=0)
-        Bt = jnp.concatenate(beta_all, axis=0)
-        x_lag = _delta_trace_at(H, Bt, Cm, m_done - lag, bs, fun.name)
-        x_now = _delta_trace_at(H, Bt, Cm, m_done, bs, fun.name)
-        err = jnp.abs(x_now - x_lag)
-        newly = jnp.logical_and(jnp.logical_not(converged), err < tol)
-        # breakdown implies the value is exact at the breakdown point
-        dead = jnp.logical_not(state.alive)
-        newly = jnp.logical_or(newly, jnp.logical_and(jnp.logical_not(converged), dead))
-        delta = jnp.where(converged, delta, x_now)
-        iters = jnp.where(converged, iters, m_done)
-        converged = jnp.logical_or(converged, newly)
+    h = jnp.zeros((0, batch, 2 * bs, bs), dtype)
+    beta = jnp.zeros((0, batch, bs, bs), dtype)
+    m_prev = 0
+    tol_arr = jnp.asarray(tol, dtype)
+    for rounds in phase_rounds:
+        state, h, beta, delta, iters, converged = _phase(
+            A, state, h, beta, Cm, tol_arr, delta, iters, converged,
+            rounds=rounds, m_prev=m_prev, bs=bs, fun_name=fun.name, lag=lag,
+        )
+        m_prev += sum(rounds)
         if bool(jnp.all(converged)):
             break
 
@@ -158,6 +200,7 @@ def trace_fun_update_edges(
     tol: float = 1e-12,
     rescale: float = 1.0,
     schedule: Sequence[int] = DEFAULT_SCHEDULE,
+    phases: Sequence[int] = DEFAULT_PHASES,
 ) -> TraceUpdateResult:
     """Score all candidate edges at once: Δtrace for removing (sign=-1) or
     adding (sign=+1) each edge independently. The device-batched replacement
@@ -165,7 +208,9 @@ def trace_fun_update_edges(
     edges = jnp.asarray(edges)
     U0 = edge_start_blocks(A.n, edges, A.dtype)
     B = edge_B(edges, sign, rescale, A.dtype)
-    return trace_fun_update_batched(A, U0, B, fun=fun, tol=tol, schedule=schedule)
+    return trace_fun_update_batched(
+        A, U0, B, fun=fun, tol=tol, schedule=schedule, phases=phases
+    )
 
 
 def trace_fun_update_single(

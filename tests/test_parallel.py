@@ -55,8 +55,9 @@ def test_krylov_on_sharded_operator(mesh):
     iu, ju = np.nonzero(np.tril(Ad, -1))
     edges = np.stack([iu[:6], ju[:6]], axis=1)
 
-    # pad edge blocks to the padded matrix size
-    res = trace_fun_update_edges(M_pad(M), edges, sign=-1.0, tol=1e-4)
+    # RowShardedMatrix is a pytree: the Krylov layers consume it directly
+    # (blocks are built at the padded size M.n; extra rows stay zero)
+    res = trace_fun_update_edges(M, edges, sign=-1.0, tol=1e-4)
 
     def dense_delta(i, j):
         At = Ad.copy()
@@ -70,20 +71,3 @@ def test_krylov_on_sharded_operator(mesh):
     np.testing.assert_allclose(np.asarray(res.delta), want, rtol=1e-6)
 
 
-def M_pad(M):
-    """Wrap a RowShardedMatrix so callers see the padded size n (the Krylov
-    layers build (batch, n, bs) blocks)."""
-
-    class _W:
-        def __init__(self, M):
-            self._M = M
-            self.n = M.n
-            self.dtype = M.dtype
-
-        def __matmul__(self, x):
-            return self._M.matmul(x)
-
-        def matmul(self, x):
-            return self._M.matmul(x)
-
-    return _W(M)
