@@ -110,15 +110,23 @@ def arnoldi_run(A, B0: jax.Array, num_steps: int, max_steps: int | None = None,
 
 def assemble_hessenberg(blocks: ArnoldiBlocks, bs: int, m: int):
     """Square projection Gm = H[: m·bs, : m·bs] (batch, m·bs, m·bs): coupling
-    columns h (already full-height) plus subdiagonal beta blocks."""
+    columns h (already full-height — a pure transpose/reshape) plus the
+    subdiagonal beta blocks via one precomputed-index scatter."""
+    import numpy as np
+
     h, beta = blocks.h, blocks.beta
     batch = h.shape[1]
-    G = jnp.zeros((batch, m * bs, m * bs), h.dtype)
-    for j in range(m):
-        col = h[j][:, : m * bs, :]  # (batch, m*bs, bs)
-        G = jax.lax.dynamic_update_slice(G, col, (0, 0, j * bs))
-        if j + 1 < m:
-            G = jax.lax.dynamic_update_slice(
-                G, beta[j], (0, (j + 1) * bs, j * bs)
-            )
+    M = m * bs
+    # h[:m][:, :, :M, :]: (m, batch, M, bs) → (batch, M, m, bs) → (batch, M, M)
+    G = jnp.moveaxis(h[:m][:, :, :M, :], 1, 0)
+    G = jnp.transpose(G, (0, 2, 1, 3)).reshape(batch, M, m * bs)
+    if m > 1:
+        j = np.arange(m - 1)[:, None, None]
+        r = np.arange(bs)[None, :, None]
+        c = np.arange(bs)[None, None, :]
+        ridx = np.broadcast_to((j + 1) * bs + r, (m - 1, bs, bs))
+        cidx = np.broadcast_to(j * bs + c, (m - 1, bs, bs))
+        G = G.at[:, jnp.asarray(ridx), jnp.asarray(cidx)].set(
+            jnp.moveaxis(beta[: m - 1], 1, 0)
+        )
     return G
