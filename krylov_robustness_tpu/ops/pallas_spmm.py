@@ -171,26 +171,14 @@ class BandedEllOperator:
         self.num_windows = 2 * Wv - 1
         self.Wv = Wv - 1
 
-        rel = np.zeros((K, n_lanes), np.int32)
-        win = np.full((K, n_lanes), self.Wv, np.int32)  # padding: own chunk
-        val = np.zeros((K, n_lanes), np.float64)
-        lanes = np.arange(n_lanes)
-        rel[:] = (lanes % 128)[None, :]
-        # slot within row = entry index − row start (CSR-ordered entries)
-        order = np.lexsort((C.col, C.row))
-        rows = C.row[order]
-        cols = C.col[order]
-        data = C.data[order]
-        indptr = np.zeros(n + 1, np.int64)
-        np.add.at(indptr, rows + 1, 1)
-        indptr = np.cumsum(indptr)
-        ks = np.arange(self.nnz, dtype=np.int64) - indptr[rows]
-        ws = (cols // 128 - rows // 128 + self.Wv).astype(np.int64)
-        assert ws.min() >= 0 and ws.max() < self.num_windows, (
-            ws.min(), ws.max(), self.num_windows)
-        rel[ks, rows] = (cols % 128).astype(np.int32)
-        win[ks, rows] = ws.astype(np.int32)
-        val[ks, rows] = data
+        # native C++ packing runtime (numpy fallback inside)
+        from ..native.graphpack import pack_banded
+
+        rel, win, val, ks, rows = pack_banded(
+            A, n_lanes, K, self.Wv, self.num_windows
+        )
+        A.sort_indices()
+        cols = A.indices.astype(np.int64)
 
         self.K = K
         self.n_lanes = n_lanes
