@@ -62,10 +62,24 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     m = A.nnz // 2
     M = CooMatrix.from_scipy(A, dtype=dtype)
 
-    nrm = float(np.exp(float(normest2(M, tol=1e-2))))
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # tiny eigen-iterations run on host: remote-compile latency dominates
+        from ..funm.normest import normest2_host
+        from ..graphs.centrality import compute_centrality_host
+
+        nrm = float(np.exp(normest2_host(A, tol=1e-2)))
+    else:
+        nrm = float(np.exp(float(normest2(M, tol=1e-2))))
     trexp = trace_exp(M)
     timer = Timer()
-    centrality = compute_centrality(M, cfg.centrality)
+    centrality = (
+        compute_centrality_host(A, cfg.centrality)
+        if on_tpu
+        else compute_centrality(M, cfg.centrality)
+    )
     time_centrality = timer.lap()
     tol_abs = cfg.tol * nrm
     sign = -1.0 if cfg.mode == "break" else +1.0

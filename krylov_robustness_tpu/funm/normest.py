@@ -70,3 +70,17 @@ def normest2(A, tol: float = 1e-2, max_iter: int = 100) -> jax.Array:
     x = x / nx
     it, e, _, _ = jax.lax.while_loop(cond, body, (0, e, jnp.zeros_like(e), x))
     return e
+
+
+def normest2_host(A_scipy, tol: float = 1e-2) -> float:
+    """Host-side 2-norm estimate (scipy eigsh) — MATLAB normest counterpart
+    for TPU sessions where a device program is not worth the compile."""
+    import numpy as np
+    import scipy.sparse.linalg as spla
+
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A_scipy).astype(np.float64)
+    w = spla.eigsh(A, k=1, which="LM", return_eigenvectors=False,
+                   tol=max(tol * 1e-2, 1e-10))
+    return float(abs(w[0]))
