@@ -1,0 +1,153 @@
+"""CLI for the paper-protocol experiment drivers.
+
+The reference's ``Tests/*.m`` are run-as-script drivers; here each becomes a
+subcommand (SURVEY.md §2.2 mapping):
+
+    python -m krylov_robustness_tpu.experiments unweighted --mode break
+    python -m krylov_robustness_tpu.experiments budget --mode make \
+        --datasets Barcelona Rome
+    python -m krylov_robustness_tpu.experiments weighted --fun sinh --hessian
+    python -m krylov_robustness_tpu.experiments trace
+    python -m krylov_robustness_tpu.experiments scaling
+
+By default runs on the CPU platform in float64 (the golden-result /
+correctness configuration — matching the reference's MATLAB doubles);
+pass ``--tpu`` to run on the ambient JAX platform in float32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _setup_platform(use_tpu: bool):
+    # Must happen before jax initializes its backend (CLAUDE.md: the ambient
+    # axon hook otherwise routes eager ops through the remote TPU tunnel).
+    if not use_tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    import jax
+
+    if not use_tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    return jnp.float32 if use_tpu else jnp.float64
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="krylov_robustness_tpu.experiments")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the ambient JAX platform (f32) instead of CPU f64")
+    p.add_argument("--out-dir", default="results")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    u = sub.add_parser("unweighted", help="Tables 2-3 protocol (break/make)")
+    u.add_argument("--mode", choices=["break", "make"], default="break")
+    u.add_argument("--datasets", nargs="*", default=None,
+                   help="dataset names (searched in misc then transport)")
+    u.add_argument("--collections", nargs="*", default=["misc", "transport"])
+    u.add_argument("--k", type=int, default=50)
+    u.add_argument("--Q", type=int, default=250)
+    u.add_argument("--tol", type=float, default=1e-6)
+
+    b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
+    b.add_argument("--mode", choices=["break", "make"], default="break")
+    b.add_argument("--datasets", nargs="+", required=True)
+    b.add_argument("--budgets", type=int, nargs="*",
+                   default=list(range(10, 101, 10)))
+    b.add_argument("--search-spaces", type=int, nargs="*",
+                   default=[50, 250, 1000])
+    b.add_argument("--tol", type=float, default=1e-6)
+
+    w = sub.add_parser("weighted", help="Tables 5-6 protocol (weighted IPM)")
+    w.add_argument("--fun", choices=["exp", "sinh", "cosh"], default="exp")
+    w.add_argument("--hessian", action="store_true",
+                   help="exact Krylov Hessian instead of L-BFGS approximation")
+    w.add_argument("--countries", nargs="*", default=None)
+    w.add_argument("--methods", nargs="*",
+                   default=["tuning", "rewire", "add"])
+    w.add_argument("--maxiter", type=int, default=200)
+
+    sub.add_parser("trace", help="trace(exp(A)) wall-time benchmark")
+
+    s = sub.add_parser("scaling", help="sharded-SpMM scaling efficiency")
+    s.add_argument("--dataset", default="Barcelona")
+    s.add_argument("--batch", type=int, default=8)
+
+    args = p.parse_args(argv)
+    dtype = _setup_platform(args.tpu)
+
+    if args.cmd == "unweighted":
+        from ..utils.config import UnweightedConfig
+        from .unweighted import run_paper_suite
+
+        cfg = UnweightedConfig(mode=args.mode, k=args.k, Q=args.Q,
+                               tol=args.tol)
+        if args.datasets:
+            from ..graphs.io import MISC_PAPER_SET
+
+            # route each named dataset through the right loader
+            from .unweighted import run_dataset
+            from ..graphs.io import load_misc, load_transport
+            from ..utils.logging import ResultLog
+
+            log = ResultLog(args.out_dir, f"unweighted_{cfg.mode}")
+            for name in args.datasets:
+                try:
+                    A = load_misc(name)
+                except (KeyError, FileNotFoundError):
+                    A = load_transport(name)
+                run_dataset(A, name, cfg, log, dtype=dtype)
+        else:
+            run_paper_suite(cfg, out_dir=args.out_dir,
+                            collections=tuple(args.collections), dtype=dtype)
+    elif args.cmd == "budget":
+        from .unweighted import run_budget_sweep
+
+        run_budget_sweep(args.datasets, args.budgets, args.search_spaces,
+                         mode=args.mode, tol=args.tol, out_dir=args.out_dir,
+                         dtype=dtype)
+    elif args.cmd == "weighted":
+        from ..utils.config import WeightedConfig
+        from .weighted import run_paper_suite
+
+        cfg = WeightedConfig(fun=args.fun, use_hessian=args.hessian,
+                             maxiter=args.maxiter,
+                             methods=tuple(args.methods))
+        run_paper_suite(cfg, out_dir=args.out_dir, countries=args.countries,
+                        dtype=dtype)
+    elif args.cmd == "trace":
+        from .trace_bench import run
+
+        run(out_dir=args.out_dir, dtype=dtype)
+    elif args.cmd == "scaling":
+        import json
+
+        from ..graphs.io import load_transport
+        from ..graphs.preprocess import preprocess_unweighted
+        from .scaling import measure_sharded_spmm, scaling_efficiency
+
+        A = preprocess_unweighted(load_transport(args.dataset))
+        res = measure_sharded_spmm(A, b=args.batch, dtype=dtype)
+        eff = scaling_efficiency(res)
+        print(json.dumps({
+            "dataset": args.dataset,
+            "rates_nnzb_per_s": {str(d): r for d, (t, r) in res.items()},
+            "efficiency": {str(d): e for d, e in eff.items()},
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
