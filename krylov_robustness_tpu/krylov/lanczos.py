@@ -68,24 +68,43 @@ def _batched_spmm(A, x: jax.Array) -> jax.Array:
 
 
 def _chol_qr(w: jax.Array, eps: float):
-    """Batched Cholesky QR of (batch, n, bs) blocks.
+    """Batched Cholesky QR of (batch, n, bs) blocks with per-column deflation.
 
-    Returns (Q, R, ok): ``ok`` is False where the Gram matrix is (numerically)
-    singular — the lucky-breakdown signal. On breakdown Q and R are zeroed.
+    Returns (Q, R, ok). ``ok`` is False only on FULL-block breakdown
+    (‖w‖_F < eps): the block spans an invariant subspace, the recurrence's
+    current estimate is exact — the reference's lucky-breakdown signal
+    (``lanczos_krylov.m:91-93``).
+
+    PARTIAL rank deficiency is NOT a breakdown: with twin nodes (identical
+    adjacency rows — common in dense social/citation graphs) the block
+    ``A·[e_i, e_j]`` collapses to rank 1 after one step while the Krylov
+    space keeps growing in the surviving direction. MATLAB's ``qr``
+    continues with an arbitrary orthonormal completion
+    (``lanczos_krylov.m:90``); here the dependent columns are DEFLATED
+    instead — zeroed in Q and in the matching rows of R — so they contribute
+    exact decoupled zero rows/cols to the projected matrix, which cancel in
+    the downstream trace differences. Ridge-regularized Cholesky keeps the
+    factorization defined; a column is deflated when its pivot carries no
+    relative mass. Deflated columns stay exactly zero on later steps (SpMM
+    of a zero column is zero), so the deflation is stable.
     """
     G = jnp.einsum("bnk,bnl->bkl", w, w)
     bs = w.shape[-1]
     # Frobenius norm of R equals sqrt(trace(G)); breakdown when tiny.
     frob2 = jnp.einsum("bkk->b", G)
     ok = frob2 > eps * eps
-    Gsafe = jnp.where(
-        ok[:, None, None], G, jnp.eye(bs, dtype=w.dtype)[None]
-    )
-    L = jnp.linalg.cholesky(Gsafe)
-    # chol can still produce NaN for semidefinite G; detect and mask.
+    eps_m = jnp.finfo(w.dtype).eps
+    eye = jnp.eye(bs, dtype=w.dtype)
+    reg = frob2 * (eps_m * 16.0) + eps * eps
+    L = jnp.linalg.cholesky(G + reg[:, None, None] * eye[None])
+    # chol should not NaN with the ridge; guard anyway.
     bad = jnp.any(jnp.isnan(L), axis=(-1, -2))
     ok = jnp.logical_and(ok, jnp.logical_not(bad))
-    L = jnp.where(ok[:, None, None], L, jnp.eye(bs, dtype=w.dtype)[None])
+    L = jnp.where(ok[:, None, None], L, eye[None])
+    # deflate columns whose pivot is pure ridge/rounding noise
+    keep = jnp.square(jnp.diagonal(L, axis1=-2, axis2=-1)) > (
+        frob2[:, None] * (eps_m * 256.0)
+    )
     R = jnp.swapaxes(L, -1, -2)  # upper triangular, w = Q R
     Q = jnp.swapaxes(
         jax.lax.linalg.triangular_solve(
@@ -94,6 +113,8 @@ def _chol_qr(w: jax.Array, eps: float):
         -1,
         -2,
     )
+    Q = Q * keep[:, None, :].astype(w.dtype)
+    R = R * keep[:, :, None].astype(w.dtype)
     Q = jnp.where(ok[:, None, None], Q, jnp.zeros_like(Q))
     R = jnp.where(ok[:, None, None], R, jnp.zeros_like(R))
     return Q, R, ok

@@ -47,6 +47,7 @@ from ..krylov.lanczos import (
 )
 
 DEFAULT_SCHEDULE = (6, 6, 8, 12, 20, 28, 20)  # cumulative 100 = reference max it
+DENSE_N_CUTOFF = 130  # reference trace_fun_update.m:37
 # rounds per jitted phase: phase 1 = rounds covering the common convergence
 # range; later phases only run for stragglers
 DEFAULT_PHASES = (3, 2, 2)
@@ -157,6 +158,24 @@ def trace_fun_update_batched(
     fun = get_fun(fun)
     batch, n, bs = U0.shape
     dtype = U0.dtype
+
+    # Dense exact fast path for small n (reference ``trace_fun_update.m:37``
+    # takes it unconditionally when n ≤ 130): two batched eighs beat any
+    # Krylov run, and joint high-rank updates (cross-method rescoring) stay
+    # exact where the Krylov space would saturate.
+    if n <= DENSE_N_CUTOFF and hasattr(A, "todense"):
+        Ad = A.todense()[:n, :n].astype(dtype)
+        Ad = (Ad + Ad.T) / 2
+        d2 = jnp.sort(jnp.linalg.eigvalsh(Ad))
+        At = Ad[None] + jnp.einsum("bnk,bkl,bml->bnm", U0, B, U0)
+        At = (At + jnp.swapaxes(At, -1, -2)) / 2
+        d1 = jnp.sort(jnp.linalg.eigvalsh(At))
+        delta = trace_fun_difference_eigs(d1, d2[None], fun.name)
+        return TraceUpdateResult(
+            delta=delta,
+            iters=jnp.zeros((batch,), jnp.int32),
+            converged=jnp.ones((batch,), bool),
+        )
 
     state, R0 = lanczos_start(A, U0)
     Cm = jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0)

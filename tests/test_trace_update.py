@@ -85,6 +85,60 @@ def test_general_low_rank_update():
     np.testing.assert_allclose(float(res.delta[0]), want, rtol=1e-6)
 
 
+def test_twin_nodes_deflation():
+    """Twin nodes (identical adjacency rows) make the block A·[e_i, e_j]
+    rank-deficient after one step. That must deflate and keep iterating —
+    NOT freeze as a lucky breakdown (the bug class found on Journals: the
+    reference's MATLAB qr continues with a completed basis,
+    ``lanczos_krylov.m:90``)."""
+    n = 180
+    A = random_graph(n, 0.05, seed=20).toarray()
+    # make nodes 0/1 adjacent twins and 2/3 non-adjacent twins
+    A[1, :] = A[0, :]
+    A[:, 1] = A[:, 0]
+    A[0, 1] = A[1, 0] = 1.0
+    A[3, :] = A[2, :]
+    A[:, 3] = A[:, 2]
+    A[2, 3] = A[3, 2] = 0.0
+    np.fill_diagonal(A, 0.0)
+    import scipy.sparse as sp
+
+    M = CooMatrix.from_scipy(sp.csr_matrix(A))
+    iu, ju = np.nonzero(np.tril(A, -1))
+    twin_edges = np.array([[1, 0]] + [[i, j] for i, j in zip(iu, ju)
+                                      if {i, j} & {0, 1, 2, 3}][:5])
+    res = trace_fun_update_edges(M, twin_edges, sign=-1.0, tol=1e-8)
+    want = np.array([dense_delta(A, i, j, -1.0) for i, j in twin_edges])
+    np.testing.assert_allclose(
+        np.asarray(res.delta), want, rtol=1e-6, atol=1e-8 * np.abs(want).max()
+    )
+
+
+def test_dense_fast_path_small_n():
+    """n ≤ 130 must take the exact dense path unconditionally
+    (``trace_fun_update.m:37-51``) — including joint high-rank updates that
+    saturate the Krylov space (cross-method rescoring on small graphs)."""
+    n = 124
+    A = random_graph(n, 0.5, seed=21)  # dense-ish, Journals-like
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    edges = np.stack([iu[:50], ju[:50]], axis=1)
+    from krylov_robustness_tpu.updates.low_rank import edge2low_rank
+
+    U, B, _ = edge2low_rank(edges, n, sign=-1.0)
+    res = trace_fun_update_batched(
+        M, jnp.asarray(U)[None], jnp.asarray(B)[None], tol=1e-6
+    )
+    assert int(res.iters[0]) == 0  # dense path, no Krylov steps
+    At = Ad.copy()
+    for i, j in edges:
+        At[i, j] = At[j, i] = 0.0
+    want = float(np.sum(np.exp(np.linalg.eigvalsh(At)))
+                 - np.sum(np.exp(np.linalg.eigvalsh(Ad))))
+    np.testing.assert_allclose(float(res.delta[0]), want, rtol=1e-10)
+
+
 def test_rescale():
     n = 100
     A = random_graph(n, 0.08, seed=13)
