@@ -9,7 +9,7 @@ RUN() { echo "=== $* ($(date +%H:%M:%S))"; timeout 14400 python -m krylov_robust
 
 if [ "${1:-all}" != "unweighted" ]; then
   # Tables 5-6: weighted IPM suites (10 power-grid countries x 3 methods)
-  RUN weighted --fun sinh --countries India Italy Mexico Poland Portugal Sweden
+  RUN weighted --fun sinh
   RUN weighted --fun cosh
   RUN weighted --fun exp --hessian
   RUN weighted --fun sinh --hessian
@@ -17,11 +17,11 @@ if [ "${1:-all}" != "unweighted" ]; then
 fi
 
 if [ "${1:-all}" != "weighted" ]; then
-  # Tables 2-3: unweighted break/make on additional paper graphs
-  RUN unweighted --mode break --datasets Journals Drugs email Edinburgh netscience CollegeMsg yeast Cardiff Rome
-  RUN unweighted --mode make --datasets USAir97 Barcelona Journals Drugs email Edinburgh netscience
-  # Figures 3-4: make budget sweep (feasible transport graphs)
+  # Tables 2-3: unweighted break/make (small->large paper graphs)
+  RUN unweighted --mode break --datasets Journals jazz london USAir97 Anaheim Drugs email Barcelona netscience Edinburgh CollegeMsg yeast Cardiff Rome
+  RUN unweighted --mode make --datasets Journals jazz london USAir97 Anaheim Drugs email Barcelona netscience Edinburgh
+  # Figures 1-4: budget sweeps (feasible transport graphs)
+  RUN budget --mode break --datasets Anaheim Barcelona Rome --search-spaces 50 250
   RUN budget --mode make --datasets Anaheim Barcelona Rome --search-spaces 50 250
-  RUN budget --mode break --datasets Barcelona Rome --search-spaces 50 250
 fi
 echo "=== queue done ($(date +%H:%M:%S))"
