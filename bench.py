@@ -1,12 +1,14 @@
 """Benchmark: SpMM throughput (nnz·batch/s per chip) on the largest paper
-transport network, Pallas banded kernel vs the XLA gather/scatter baseline.
+transport network at the batch width the greedy scorer actually consumes
+(2·Q ≈ 512 Lanczos columns, ``krylov_miobi.m:76-125`` batched), best Pallas
+kernel (BSR 128x128 MXU; see ops/pallas_bsr.py) vs the XLA COO segment-sum
+SpMM (the reference-style implementation path) on the same graph and chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = Pallas banded-ELL SpMM effective throughput (Gnnz·b/s)
-vs_baseline  = speedup over the XLA COO segment-sum SpMM (the reference-style
-               implementation path) on the same graph, batch, and chip.
+value        = Pallas SpMM effective throughput (Gnnz·b/s)
+vs_baseline  = speedup over the XLA COO SpMM.
 
 Runs on whatever backend jax selects (TPU under the driver; CPU fallback
 works but is slow). Everything is measured inside one jitted scan so remote
@@ -57,22 +59,21 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    import scipy.sparse as sp
 
-    from krylov_robustness_tpu.ops.pallas_spmm import (
-        BandedEllOperator,
-        rcm_permutation,
-    )
+    from krylov_robustness_tpu.ops.pallas_bsr import _bsr_spmm, make_bsr_operator
     from krylov_robustness_tpu.ops.sparse import CooMatrix
 
     A, name = build_graph()
     n, nnz = A.shape[0], A.nnz
-    perm = rcm_permutation(A)
-    Ap = A[perm, :].tocsc()[:, perm].tocsr()
 
-    b = 8
-    iters = 100
+    b = 512
+    iters = 50
     rng = np.random.default_rng(1)
     on_tpu = jax.default_backend() != "cpu"
+
+    op, perm = make_bsr_operator(A, dtype=jnp.float32)
+    Ap = sp.csr_matrix(A)[perm, :].tocsc()[:, perm].tocsr()
 
     # --- XLA COO baseline (in-jit chain) -----------------------------------
     coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
@@ -92,37 +93,26 @@ def main():
     y.block_until_ready()
     t_coo = (time.time() - t0) / iters
 
-    # --- Pallas banded kernel ----------------------------------------------
-    if on_tpu:
-        op = BandedEllOperator(Ap, dtype=jnp.float32, b_tile=8)
-        halo = op.Wv * 128
-        xt0 = jnp.zeros((8, op.n_lanes + 2 * halo), jnp.float32)
-        xt0 = xt0.at[:, halo:halo + n].set(x0.T)
-
-        from krylov_robustness_tpu.ops.pallas_spmm import _banded_spmm
+    # --- Pallas BSR MXU kernel ----------------------------------------------
+    if on_tpu and hasattr(op, "ablocks"):
+        xp = jnp.zeros((op.n_pad, b), jnp.float32).at[:n].set(x0)
 
         @jax.jit
-        def chain_pallas(xt):
-            def body(xt, _):
-                yt = _banded_spmm(
-                    op.relT, op.winT, op.valT, xt,
-                    op.num_windows, op.K, op.b_tile,
-                )
-                xt = jnp.zeros_like(xt).at[:, halo:halo + op.n_lanes].set(
-                    yt * 1e-3
-                )
-                return xt, ()
+        def chain_bsr(x):
+            def body(x, _):
+                y = _bsr_spmm(op.cb, op.rb, op.first, op.ablocks, x)
+                return y * 1e-3, ()
 
-            return jax.lax.scan(body, xt, None, length=iters)[0]
+            return jax.lax.scan(body, x, None, length=iters)[0]
 
-        y = chain_pallas(xt0)
+        y = chain_bsr(xp)
         y.block_until_ready()
         t0 = time.time()
-        y = chain_pallas(xt0)
+        y = chain_bsr(xp)
         y.block_until_ready()
         t_pallas = (time.time() - t0) / iters
     else:
-        t_pallas = t_coo  # CPU: no Pallas; report parity
+        t_pallas = t_coo  # CPU (or BSR fallback): no Pallas; report parity
 
     value = nnz * b / t_pallas / 1e9
     print(

@@ -134,6 +134,22 @@ class _BandedAdapter:
         return out
 
 
+class _BsrAdapter(_BandedAdapter):
+    """Same permutation-mapping adapter over the BSR MXU operator."""
+
+    def to_scipy(self) -> sp.csr_matrix:
+        rows, cols = self.op._entry_rc
+        vals = self.op.entry_values()
+        perm = np.empty_like(self.pinv)
+        perm[self.pinv] = np.arange(len(self.pinv))
+        out = sp.coo_matrix(
+            (vals, (perm[rows], perm[cols])),
+            shape=(self.op.n, self.op.n),
+        ).tocsr()
+        out.eliminate_zeros()
+        return out
+
+
 def krylov_miobi(
     A: sp.spmatrix,
     k: int,
@@ -241,25 +257,45 @@ def greedy_krylov(
 
     sign = -1.0 if mode == "break" else +1.0
 
-    use_banded = False
-    if backend in ("auto", "banded") and mode == "break":
+    # Pallas backend selection (break mode only: additions need pre-allocated
+    # slots which the frozen COO structure provides). Measured on v5e
+    # (Vermont): the BSR MXU kernel wins at the wide batches the paper
+    # protocol uses (2·Q ≈ 500 Lanczos columns), the banded lane-gather
+    # kernel at narrow ones; XLA COO is the fallback for graphs with no
+    # block/band structure.
+    use_banded = use_bsr = False
+    want_pallas = backend in ("auto", "banded", "bsr") and mode == "break"
+    if want_pallas and (backend != "auto" or jax.default_backend() == "tpu"):
+        from ..ops.pallas_bsr import BLK, bsr_block_count
         from ..ops.pallas_spmm import rcm_bandwidth, rcm_permutation
 
-        if backend == "banded" or jax.default_backend() == "tpu":
-            perm = rcm_permutation(A)
+        perm = rcm_permutation(A)
+        wide_batch = 2 * Q >= 256
+        if backend == "bsr" or (backend == "auto" and wide_batch):
+            nblk = bsr_block_count(A, perm)
+            itemsize = jnp.dtype(dtype).itemsize
+            use_bsr = nblk * BLK * BLK * itemsize <= 768 * 1024 * 1024
+        if not use_bsr:
             bw = rcm_bandwidth(A, perm)
             use_banded = 2 * ((bw + 127) // 128 + 1) - 1 <= 17
 
-    if use_banded:
-        from ..ops.pallas_spmm import BandedEllOperator
-
+    if use_bsr or use_banded:
         pinv = np.empty_like(perm)
         pinv[perm] = np.arange(len(perm))
         Ap = A[perm, :].tocsc()[:, perm].tocsr()
         interpret = jax.default_backend() != "tpu"
-        F = _BandedAdapter(
-            BandedEllOperator(Ap, dtype=dtype, interpret=interpret), pinv
-        )
+        if use_bsr:
+            from ..ops.pallas_bsr import BsrOperator
+
+            F = _BsrAdapter(
+                BsrOperator(Ap, dtype=dtype, interpret=interpret), pinv
+            )
+        else:
+            from ..ops.pallas_spmm import BandedEllOperator
+
+            F = _BandedAdapter(
+                BandedEllOperator(Ap, dtype=dtype, interpret=interpret), pinv
+            )
     else:
         # freeze structure once for the sweep (additions pre-allocated)
         F = _FrozenStructureMatrix(

@@ -195,3 +195,9 @@ def test_greedy_banded_backend_matches_coo():
     np.testing.assert_allclose(r_coo.rob_variation, r_band.rob_variation,
                                rtol=1e-10)
     assert (r_coo.A_new != r_band.A_new).nnz == 0
+    r_bsr = greedy_krylov(A, 3, 12, c, order="min", tol=1e-8, mode="break",
+                          backend="bsr")
+    np.testing.assert_array_equal(r_coo.edges, r_bsr.edges)
+    np.testing.assert_allclose(r_coo.rob_variation, r_bsr.rob_variation,
+                               rtol=1e-10)
+    assert (r_coo.A_new != r_bsr.A_new).nnz == 0
