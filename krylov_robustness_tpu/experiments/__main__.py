@@ -103,12 +103,18 @@ def main(argv=None):
             from ..utils.logging import ResultLog
 
             log = ResultLog(args.out_dir, f"unweighted_{cfg.mode}")
+            inter_log = ResultLog(
+                args.out_dir, f"unweighted_{cfg.mode}_intersections",
+                columns=["dataset", "gkb_miobi", "gkb_eigenv",
+                         "miobi_eigenv", "all_three", "budget_size"],
+            )
             for name in args.datasets:
                 try:
                     A = load_misc(name)
                 except (KeyError, FileNotFoundError):
                     A = load_transport(name)
-                run_dataset(A, name, cfg, log, dtype=dtype)
+                run_dataset(A, name, cfg, log, dtype=dtype,
+                            inter_log=inter_log)
         else:
             run_paper_suite(cfg, out_dir=args.out_dir,
                             collections=tuple(args.collections), dtype=dtype)

@@ -56,7 +56,8 @@ def _intersections(gkb: np.ndarray, miobi: np.ndarray, eigenv: np.ndarray):
 
 
 def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
-                dtype=jnp.float64, checkpoint=None, verbose=True):
+                dtype=jnp.float64, checkpoint=None, verbose=True,
+                inter_log: ResultLog | None = None):
     A = preprocess_unweighted(A_raw)
     n = A.shape[0]
     m = A.nnz // 2
@@ -126,6 +127,12 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     )
 
     inter = _intersections(res.edges, mi.edges, ev)
+    if inter_log is not None:
+        # separate intersections table (the reference's dlmwrite .dat,
+        # test_unweighted_break.m:157)
+        inter_log.append(dataset=name, gkb_miobi=inter[0],
+                         gkb_eigenv=inter[1], miobi_eigenv=inter[2],
+                         all_three=inter[3], budget_size=cfg.k)
     if verbose:
         print(
             f"  GKB={res.rob_variation / trexp:.4e} MIOBI={delta_miobi / trexp:.4e} "
@@ -143,6 +150,11 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
     """Full Table-2/3 protocol over the paper's 22 unweighted graphs."""
     cfg = cfg or UnweightedConfig()
     log = ResultLog(out_dir, f"unweighted_{cfg.mode}")
+    inter_log = ResultLog(
+        out_dir, f"unweighted_{cfg.mode}_intersections",
+        columns=["dataset", "gkb_miobi", "gkb_eigenv", "miobi_eigenv",
+                 "all_three", "budget_size"],
+    )
     results = {}
     names = []
     if datasets is not None:
@@ -154,7 +166,8 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
             names += [("transport", d) for d in TRANSPORT_PAPER_SET]
     for coll, name in names:
         A = load_misc(name) if coll == "misc" else load_transport(name)
-        results[name] = run_dataset(A, name, cfg, log, dtype=dtype)
+        results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
+                                    inter_log=inter_log)
     return results, log
 
 
