@@ -137,6 +137,87 @@ class TraceUpdateResult:
     converged: jax.Array  # (batch,) bool
 
 
+def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
+                      fun_name: str):
+    """Host (numpy/LAPACK) version of :func:`_delta_trace_at`.
+
+    The projected matrices are tiny ((2m)² per candidate) — on TPU sessions
+    batched ``eigh`` inside the phase programs compiles into ~100 MB
+    executables on the remote compile server (minutes per phase shape), so
+    for TPU the device keeps only the SpMM-heavy recurrence and the small
+    dense math runs here (same split as compute_centrality_host).
+    """
+    steps, batch = h_np.shape[0], h_np.shape[1]
+    M = m_total * bs
+    G = np.zeros((batch, M + 2 * bs, M), h_np.dtype)
+    for j in range(m_total):
+        contrib = np.concatenate([h_np[j], beta_np[j]], axis=1)  # (batch,3bs,bs)
+        G[:, j * bs:(j + 3) * bs, j * bs:(j + 1) * bs] = contrib
+    G = G[:, bs:bs + M, :]
+    G = (G + np.swapaxes(G, -1, -2)) / 2
+    k = Cm_np.shape[-1]
+    tG = G.copy()
+    tG[:, :k, :k] += (Cm_np + np.swapaxes(Cm_np, -1, -2)) / 2
+    d1 = np.linalg.eigvalsh(tG)
+    d2 = np.linalg.eigvalsh(G)
+    from ..funm.dense import trace_fun_difference_eigs
+
+    import jax.numpy as _jnp
+
+    return np.asarray(
+        trace_fun_difference_eigs(_jnp.asarray(d1), _jnp.asarray(d2), fun_name)
+    )
+
+
+def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
+    """TPU-session variant: device runs jitted Lanczos extension rounds
+    (scan of SpMM + MGS only — small, fast-compiling programs), host does
+    the per-round projected eigendecompositions and the lag-d convergence
+    bookkeeping (``trace_fun_update.m:103-118``)."""
+    batch = U0.shape[0]
+    bs = U0.shape[-1]
+    dtype = U0.dtype
+    state, R0 = lanczos_start(A, U0)
+    Cm = np.asarray(jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0))
+
+    delta = np.zeros((batch,), np.float64)
+    iters = np.zeros((batch,), np.int32)
+    converged = np.zeros((batch,), bool)
+    h_np = np.zeros((0, batch, 2 * bs, bs), np.float64)
+    beta_np = np.zeros((0, batch, bs, bs), np.float64)
+    m_done = 0
+    extend = jax.jit(lanczos_continue, static_argnames=("num_steps",))
+    for steps in schedule:
+        blocks, state = extend(A, state, num_steps=int(steps))
+        h_np = np.concatenate([h_np, np.asarray(blocks.h, np.float64)], axis=0)
+        beta_np = np.concatenate(
+            [beta_np, np.asarray(blocks.beta, np.float64)], axis=0
+        )
+        m_done += int(steps)
+        act = np.nonzero(~converged)[0]  # host eigh only for stragglers
+        if len(act) == 0:
+            break
+        x_lag = _host_delta_trace(
+            h_np[:, act], beta_np[:, act], Cm[act], m_done - lag, bs, fun.name
+        )
+        x_now = _host_delta_trace(
+            h_np[:, act], beta_np[:, act], Cm[act], m_done, bs, fun.name
+        )
+        err = np.abs(x_now - x_lag)
+        dead = ~np.asarray(state.alive)[act]
+        newly = (err < tol) | dead
+        delta[act] = x_now
+        iters[act] = m_done
+        converged[act] = newly
+        if converged.all():
+            break
+    return TraceUpdateResult(
+        delta=jnp.asarray(delta, dtype),
+        iters=jnp.asarray(iters),
+        converged=jnp.asarray(converged),
+    )
+
+
 def trace_fun_update_batched(
     A,
     U0: jax.Array,
@@ -146,6 +227,7 @@ def trace_fun_update_batched(
     schedule: Sequence[int] = DEFAULT_SCHEDULE,
     lag: int = 2,
     phases: Sequence[int] = DEFAULT_PHASES,
+    host_eigh: bool | None = None,
 ) -> TraceUpdateResult:
     """Batched trace(f(A + U B Uᵀ) − f(A)).
 
@@ -158,6 +240,11 @@ def trace_fun_update_batched(
     fun = get_fun(fun)
     batch, n, bs = U0.shape
     dtype = U0.dtype
+
+    if host_eigh is None:
+        # On TPU sessions the batched in-jit eigh compiles into huge remote
+        # executables; split device-recurrence/host-eigh instead.
+        host_eigh = jax.default_backend() == "tpu" and n > DENSE_N_CUTOFF
 
     # Dense exact fast path for small n (reference ``trace_fun_update.m:37``
     # takes it unconditionally when n ≤ 130): two batched eighs beat any
@@ -176,6 +263,9 @@ def trace_fun_update_batched(
             iters=jnp.zeros((batch,), jnp.int32),
             converged=jnp.ones((batch,), bool),
         )
+
+    if host_eigh:
+        return _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag)
 
     state, R0 = lanczos_start(A, U0)
     Cm = jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0)

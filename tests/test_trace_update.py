@@ -139,6 +139,29 @@ def test_dense_fast_path_small_n():
     np.testing.assert_allclose(float(res.delta[0]), want, rtol=1e-10)
 
 
+def test_host_eigh_path_matches_device_path():
+    """The TPU-session split (device recurrence + host projected eigh) must
+    agree with the all-device phase path."""
+    n = 200
+    A = random_graph(n, 0.04, seed=10)
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    edges = np.stack([iu[:10], ju[:10]], axis=1)
+    r_dev = trace_fun_update_edges(M, edges, sign=-1.0, tol=1e-6)
+    from krylov_robustness_tpu.updates.trace_update import (
+        edge_B as _eB, edge_start_blocks as _esb,
+    )
+
+    U0 = _esb(n, jnp.asarray(edges), M.dtype)
+    B = _eB(jnp.asarray(edges), -1.0, 1.0, M.dtype)
+    r_host = trace_fun_update_batched(M, U0, B, tol=1e-6, host_eigh=True)
+    np.testing.assert_allclose(
+        np.asarray(r_host.delta), np.asarray(r_dev.delta), rtol=1e-8
+    )
+    assert bool(np.all(np.asarray(r_host.converged)))
+
+
 def test_rescale():
     n = 100
     A = random_graph(n, 0.08, seed=13)
