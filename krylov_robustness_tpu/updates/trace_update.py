@@ -205,7 +205,12 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
         )
         err = np.abs(x_now - x_lag)
         dead = ~np.asarray(state.alive)[act]
-        newly = (err < tol) | dead
+        # dtype-aware floor: an f32 recurrence cannot resolve below ~32 eps
+        # relative — without this, candidates whose true error plateaus at
+        # the noise floor burn the whole 100-step budget
+        eps_m = np.finfo(np.dtype(dtype)).eps
+        tol_eff = np.maximum(tol, 32.0 * eps_m * np.abs(x_now))
+        newly = (err < tol_eff) | dead
         delta[act] = x_now
         iters[act] = m_done
         converged[act] = newly
