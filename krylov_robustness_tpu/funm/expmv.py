@@ -188,6 +188,15 @@ def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
         plan = select_taylor_degree(A, t=t, b_cols=cols, prec=prec, shift=shift)
     if t == 0.0:
         return b
+    if plan.t != t:
+        # the plan bakes in t (degree/scaling chosen from |t|·α and the
+        # stage factor t/(s·k) uses plan.t) — a mismatched t would silently
+        # compute exp(plan.t·A)·b
+        raise ValueError(
+            f"expmv plan was built for t={plan.t} but t={t} was requested; "
+            "build a plan per t (degree selection depends only on |t|, so "
+            "this is cheap for sign flips)"
+        )
     return _expmv_core(
         A, b, plan.t, plan.mu, plan.tol, plan.m, plan.s, plan.shift, full_term
     )

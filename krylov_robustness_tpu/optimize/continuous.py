@@ -131,16 +131,27 @@ def build_problem(
     total_weight: float = 10.0,
     ndense: int = 500,
     tol: float = 1e-8,
+    entries_method: str = "auto",
 ) -> ContinuousProblem:
     """Search-space construction for the three weighted problems
     (``test_weighted_exp_lbfgs.m:80-186``): centrality preselection, gradient
     refinement by the largest f'(A) entries, then method-specific bounds.
+
+    ``entries_method``: 'auto' follows the reference (dense f'(A) when
+    n < ndense, per-row Arnoldi entries otherwise); 'expmv' uses the fused
+    expmv-action evaluator (exp-family f only — preferred on TPU/sharded
+    operators where the stored-basis Arnoldi compiles poorly).
     """
     fun = get_fun(fun)
     dfun = derivative_of(fun)
     n = A_scipy.shape[0]
 
     def grad_entries(E):
+        if entries_method == "expmv":
+            from ..updates.entries import entries_of_f_expmv
+
+            vals, _ = entries_of_f_expmv(A, E, fun=dfun)
+            return np.asarray(vals)
         if n < ndense:
             Ad = jnp.asarray(A_scipy.toarray())
             from ..funm.dense import fun_sym

@@ -102,6 +102,41 @@ def function_multiple_entries(
     return vals, m_done
 
 
+def entries_of_f_expmv(A, omega: np.ndarray, fun="exp", m_probe_cols=None):
+    """f(A)_{i,j} for the exp family via batched ``expmv`` actions.
+
+    TPU-preferred alternative to the per-row Arnoldi evaluator when
+    f ∈ {exp, sinh, cosh}: f(A)·E for one-hot columns E over the unique
+    column indices is ONE fused Taylor scan (two for sinh/cosh via
+    (exp(A) ∓ exp(−A))/2), a single compile of the SpMM chain — where the
+    stored-basis Arnoldi path compiles a large program per extension round
+    (prohibitive through shard_map / the remote compile server). Exact up to
+    the expmv truncation tolerance.
+
+    Returns (values, 0) matching the ``function_multiple_entries`` tuple.
+    """
+    from ..funm.expmv import expmv, select_taylor_degree
+
+    fun = get_fun(fun)
+    if fun.name not in ("exp", "sinh", "cosh"):
+        raise ValueError("entries_of_f_expmv supports exp/sinh/cosh only")
+    omega = np.asarray(omega, dtype=np.int64)
+    cols_u, col_of = np.unique(omega[:, 1], return_inverse=True)
+    n = A.n
+    E = jnp.zeros((n, len(cols_u)), A.dtype)
+    E = E.at[jnp.asarray(cols_u), jnp.arange(len(cols_u))].set(1.0)
+    plan = select_taylor_degree(A, t=1.0, b_cols=len(cols_u))
+    Yp = expmv(A, E, t=1.0, plan=plan)
+    if fun.name == "exp":
+        Y = Yp
+    else:
+        plan_m = select_taylor_degree(A, t=-1.0, b_cols=len(cols_u))
+        Ym = expmv(A, E, t=-1.0, plan=plan_m)
+        Y = (Yp - Ym) / 2 if fun.name == "sinh" else (Yp + Ym) / 2
+    vals = Y[jnp.asarray(omega[:, 0]), jnp.asarray(col_of)]
+    return vals, 0
+
+
 def _trim(schedule, cap):
     out, tot = [], 0
     for s in schedule:

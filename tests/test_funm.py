@@ -130,3 +130,41 @@ def test_frechet_offdiag_block_triangular(fname):
         frechet_offdiag(jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(C), fname)
     )
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_entries_of_f_expmv_matches_dense():
+    """Fused expmv-action entry evaluator (exp family) vs dense expm."""
+    import scipy.linalg
+
+    from helpers import random_graph
+    from krylov_robustness_tpu.ops.sparse import CooMatrix
+    from krylov_robustness_tpu.updates.entries import entries_of_f_expmv
+
+    A = random_graph(300, 0.03, seed=3)
+    M = CooMatrix.from_scipy(A)
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    omega = np.stack([iu[:25], ju[:25]], 1)
+    eP = scipy.linalg.expm(Ad)
+    eM = scipy.linalg.expm(-Ad)
+    for fn, ref in [("exp", eP), ("sinh", (eP - eM) / 2),
+                    ("cosh", (eP + eM) / 2)]:
+        vals, _ = entries_of_f_expmv(M, omega, fun=fn)
+        want = ref[omega[:, 0], omega[:, 1]]
+        np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-6,
+                                   atol=1e-9 * np.abs(ref).max())
+
+
+def test_expmv_plan_t_mismatch_raises():
+    import pytest
+
+    from helpers import random_graph
+    from krylov_robustness_tpu.funm.expmv import expmv, select_taylor_degree
+    from krylov_robustness_tpu.ops.sparse import CooMatrix
+
+    A = random_graph(60, 0.1, seed=4)
+    M = CooMatrix.from_scipy(A)
+    plan = select_taylor_degree(M, t=1.0, b_cols=2)
+    x = jnp.ones((60, 2))
+    with pytest.raises(ValueError):
+        expmv(M, x, t=-1.0, plan=plan)
