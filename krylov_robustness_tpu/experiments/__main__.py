@@ -108,6 +108,8 @@ def main(argv=None):
                 columns=["dataset", "gkb_miobi", "gkb_eigenv",
                          "miobi_eigenv", "all_three", "budget_size"],
             )
+            import jax
+
             for name in args.datasets:
                 try:
                     A = load_misc(name)
@@ -115,6 +117,7 @@ def main(argv=None):
                     A = load_transport(name)
                 run_dataset(A, name, cfg, log, dtype=dtype,
                             inter_log=inter_log)
+                jax.clear_caches()  # per-dataset shapes; avoid host OOM
         else:
             run_paper_suite(cfg, out_dir=args.out_dir,
                             collections=tuple(args.collections), dtype=dtype)

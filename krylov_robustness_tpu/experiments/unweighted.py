@@ -164,10 +164,13 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
             names += [("misc", d) for d in MISC_PAPER_SET]
         if "transport" in collections:
             names += [("transport", d) for d in TRANSPORT_PAPER_SET]
+    import jax
+
     for coll, name in names:
         A = load_misc(name) if coll == "misc" else load_transport(name)
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
                                     inter_log=inter_log)
+        jax.clear_caches()  # per-dataset shapes never rehit; avoid host OOM
     return results, log
 
 
@@ -201,4 +204,7 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
                     tr_variation=float(cum[k - 1]) / trexp, budget_size=k,
                 )
             out[(name, Q)] = res
+        import jax
+
+        jax.clear_caches()  # per-dataset shapes; avoid host OOM
     return out, log

@@ -87,6 +87,12 @@ def run_paper_suite(cfg: WeightedConfig | None = None,
     grids = load_power_grids()
     names = countries or paper_countries()
     results = {}
+    import jax
+
     for name in names:
         results[name] = run_country(grids[name], name, cfg, log, dtype=dtype)
+        # drop compiled executables between countries: every country is a
+        # new n so programs never rehit, and the accumulated in-memory cache
+        # OOMs the host after ~6 countries (observed LLVM alloc failures)
+        jax.clear_caches()
     return results, log

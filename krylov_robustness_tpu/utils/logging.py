@@ -33,6 +33,11 @@ class ResultLog:
         self.csv_path = self.out_dir / f"results_{name}_{stamp}.csv"
         self.jsonl_path = self.out_dir / f"results_{name}_{stamp}.jsonl"
         self.rows: list[dict] = []
+        # resume semantics: a crashed/partial suite re-run on the same day
+        # continues the existing table instead of clobbering it
+        if self.csv_path.exists():
+            with open(self.csv_path, newline="") as f:
+                self.rows = [dict(r) for r in csv.DictReader(f)]
 
     def append(self, **row):
         self.rows.append(row)
