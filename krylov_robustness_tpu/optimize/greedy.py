@@ -19,6 +19,7 @@ Default parameters mirror ``krylov_miobi.m:29-64`` / ``greedy_krylov.m:30-56``.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -40,6 +41,7 @@ class GreedyResult:
     A_new: sp.csr_matrix  # updated adjacency
     per_step_delta: np.ndarray  # (k,) chosen Δtrace per step
     per_step_iters: np.ndarray  # (k,) Krylov steps used for the chosen edge
+    per_step_time: np.ndarray | None = None  # (k,) wall seconds per step
 
 
 class _FrozenStructureMatrix:
@@ -185,12 +187,14 @@ def krylov_miobi(
     chosen = []
     deltas = []
     iters = []
+    times = []
     rob = 0.0
     k_eff = min(k, len(E))
     # fixed-size candidate array + alive mask: the compiled batched scorer is
     # reused across all k steps (no per-step shape changes)
     alive = np.ones(len(E), dtype=bool)
     for _ in range(k_eff):
+        t_step = time.perf_counter()
         res = trace_fun_update_edges(
             F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
             rescale=rescale, schedule=schedule,
@@ -205,12 +209,14 @@ def krylov_miobi(
         rob += float(scores[h])
         F.set_edge(i, j, 0.0 if mode == "break" else 1.0 / rescale)
         alive[h] = False
+        times.append(time.perf_counter() - t_step)
     return GreedyResult(
         edges=np.asarray(chosen, dtype=np.int64).reshape(-1, 2),
         rob_variation=rob,
         A_new=F.to_scipy(),
         per_step_delta=np.asarray(deltas),
         per_step_iters=np.asarray(iters),
+        per_step_time=np.asarray(times),
     )
 
 
@@ -305,6 +311,7 @@ def greedy_krylov(
     chosen = []
     deltas = []
     iters = []
+    times = []
     rob = 0.0
     start_step = 0
     if checkpoint is not None:
@@ -320,7 +327,9 @@ def greedy_krylov(
             start_step = state["step"]
             deltas = state["extra"].get("deltas", [0.0] * start_step)
             iters = state["extra"].get("iters", [0] * start_step)
+            times = state["extra"].get("times", [0.0] * start_step)
     for step in range(start_step, k):
+        t_step = time.perf_counter()
         E = top[:Q]
         res = trace_fun_update_edges(
             F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
@@ -337,9 +346,11 @@ def greedy_krylov(
         # drop the chosen edge from the search space (greedy_krylov.m:68-71)
         keep = ~((top[:, 0] == i) & (top[:, 1] == j))
         top = top[keep]
+        times.append(time.perf_counter() - t_step)
         if checkpoint is not None:
             checkpoint.save(dataset, step + 1, chosen, rob,
-                            extra={"deltas": deltas, "iters": iters})
+                            extra={"deltas": deltas, "iters": iters,
+                                   "times": times})
     if checkpoint is not None:
         checkpoint.clear()
     return GreedyResult(
@@ -348,4 +359,5 @@ def greedy_krylov(
         A_new=F.to_scipy(),
         per_step_delta=np.asarray(deltas),
         per_step_iters=np.asarray(iters),
+        per_step_time=np.asarray(times),
     )
