@@ -150,11 +150,13 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
                     datasets: list[str] | None = None, dtype=jnp.float64):
     """Full Table-2/3 protocol over the paper's 22 unweighted graphs."""
     cfg = cfg or UnweightedConfig()
-    log = ResultLog(out_dir, f"unweighted_{cfg.mode}")
+    log = ResultLog(out_dir, f"unweighted_{cfg.mode}",
+                    key=("method", "dataset"))
     inter_log = ResultLog(
         out_dir, f"unweighted_{cfg.mode}_intersections",
         columns=["dataset", "gkb_miobi", "gkb_eigenv", "miobi_eigenv",
                  "all_three", "budget_size"],
+        key=("dataset", "budget_size"),
     )
     results = {}
     names = []
@@ -168,6 +170,8 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
     import jax
 
     for coll, name in names:
+        if log.has(method="EIGENV", dataset=name):
+            continue  # resumed: EIGENV is logged last, so dataset completed
         A = load_misc(name) if coll == "misc" else load_transport(name)
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
                                     inter_log=inter_log)
@@ -181,10 +185,17 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
     """Budget sweep protocol (``test_unweighted_break_budget.m``): reuse one
     k=max(budgets) greedy run per (dataset, Q) and read prefixes — the greedy
     sequence for budget k is the first k steps of the budget-100 sequence."""
-    log = ResultLog(out_dir, f"unweighted_{mode}_budget")
+    log = ResultLog(out_dir, f"unweighted_{mode}_budget",
+                    key=("method", "dataset", "searchspace_size",
+                         "budget_size"))
     out = {}
     for name in names:
         A = preprocess_unweighted(load_transport(name))
+        kmax0 = max(budgets)
+        if all(log.has(method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
+                       searchspace_size=min(A.nnz // 2 - kmax0, Q) + kmax0,
+                       budget_size=kmax0) for Q in search_spaces):
+            continue  # resumed: all sweeps for this dataset already logged
         M = CooMatrix.from_scipy(A, dtype=dtype)
         nrm = float(np.exp(float(normest2(M, tol=1e-2))))
         trexp = trace_exp(M)
@@ -194,6 +205,9 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
         kmax = max(budgets)
         for Q in search_spaces:
             Qe = min(A.nnz // 2 - kmax, Q)
+            if log.has(method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
+                       searchspace_size=Qe + kmax, budget_size=kmax):
+                continue  # resumed: this (dataset, Q) sweep already logged
             res = greedy_krylov(
                 A, kmax, Qe, centrality, order="min", tol=tol * nrm,
                 mode=mode, dtype=dtype,

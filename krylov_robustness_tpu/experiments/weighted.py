@@ -50,6 +50,10 @@ def run_country(A_dense: np.ndarray, name: str, cfg: WeightedConfig,
     centrality = compute_centrality(M, "eig")
     out = {}
     for method in cfg.methods:
+        if log.has(dataset=name, method=method):
+            if verbose:
+                print(f"{n}\t{name}\t{method}\t(resumed: row exists, skipping)")
+            continue
         timer = Timer()
         prob = build_problem(
             A, M, centrality, method, fun=cfg.fun,
@@ -83,7 +87,8 @@ def run_paper_suite(cfg: WeightedConfig | None = None,
                     countries: list[str] | None = None, dtype=jnp.float64):
     cfg = cfg or WeightedConfig()
     tag = f"weighted_{cfg.fun}_{'hessian' if cfg.use_hessian else 'lbfgs'}"
-    log = ResultLog(out_dir, tag, columns=WEIGHTED_COLUMNS)
+    log = ResultLog(out_dir, tag, columns=WEIGHTED_COLUMNS,
+                    key=("dataset", "method"))
     grids = load_power_grids()
     names = countries or paper_countries()
     results = {}

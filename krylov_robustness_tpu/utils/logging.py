@@ -25,10 +25,12 @@ class ResultLog:
     """Append-only result table with CSV + JSONL streaming."""
 
     def __init__(self, out_dir: str | Path, name: str,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 key: tuple[str, ...] | None = None):
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.columns = columns or UNWEIGHTED_COLUMNS
+        self.key = key
         stamp = time.strftime("%Y-%m-%d")
         self.csv_path = self.out_dir / f"results_{name}_{stamp}.csv"
         self.jsonl_path = self.out_dir / f"results_{name}_{stamp}.jsonl"
@@ -39,7 +41,23 @@ class ResultLog:
             with open(self.csv_path, newline="") as f:
                 self.rows = [dict(r) for r in csv.DictReader(f)]
 
+    def _key_of(self, row: dict):
+        return tuple(str(row.get(c)) for c in self.key)
+
+    def has(self, **key_vals) -> bool:
+        """True if a row with these key columns is already in the table
+        (resume support: skip work whose row survived a previous run)."""
+        if self.key is None:
+            return False
+        probe = tuple(str(key_vals.get(c)) for c in self.key)
+        return any(self._key_of(r) == probe for r in self.rows)
+
     def append(self, **row):
+        if self.key is not None:
+            # keyed replace: a resumed suite re-running the same cell
+            # overwrites its old row instead of duplicating it
+            k = self._key_of(row)
+            self.rows = [r for r in self.rows if self._key_of(r) != k]
         self.rows.append(row)
         with open(self.jsonl_path, "a") as f:
             f.write(json.dumps(row, default=_json_default) + "\n")
