@@ -65,3 +65,29 @@ def test_greedy_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(resumed.rob_variation, full.rob_variation,
                                rtol=1e-10)
     assert not ckpt_path.exists()  # cleared on completion
+
+
+def test_resultlog_keyed_resume(tmp_path):
+    """Keyed rows: same-day re-runs replace matching cells instead of
+    duplicating them, and has() reports completed cells for driver skips."""
+    cols = ["dataset", "method", "score"]
+    log = ResultLog(tmp_path, "kr", columns=cols, key=("dataset", "method"))
+    log.append(dataset="a", method="tuning", score=1.0)
+    log.append(dataset="a", method="rewire", score=2.0)
+    log.append(dataset="a", method="tuning", score=3.0)  # replaces row 1
+    assert len(log) == 2
+    assert [r["score"] for r in log.rows] == [2.0, 3.0]
+
+    # resumed same-day instance sees the persisted rows
+    log2 = ResultLog(tmp_path, "kr", columns=cols, key=("dataset", "method"))
+    assert len(log2) == 2
+    assert log2.has(dataset="a", method="rewire")
+    assert not log2.has(dataset="b", method="rewire")
+    log2.append(dataset="a", method="rewire", score=9.0)
+    assert len(log2) == 2  # replaced, not appended
+
+    # unkeyed log keeps duplicate rows (legacy behavior)
+    log3 = ResultLog(tmp_path, "unkeyed", columns=cols)
+    log3.append(dataset="a", method="x", score=0.0)
+    log3.append(dataset="a", method="x", score=0.0)
+    assert len(log3) == 2 and not log3.has(dataset="a", method="x")
