@@ -65,6 +65,19 @@ class RowShardedMatrix:
     def rows_per_shard(self) -> int:
         return self.n // self.mesh.shape[self.axis]
 
+    @property
+    def rows(self) -> jax.Array:
+        """Global row ids — the CooMatrix-compatible view consumed by the
+        host-side plan builders (``funm.expmv.select_taylor_degree``); slots
+        padding each shard carry val 0 so sum-style consumers are unaffected."""
+        D = self.mesh.shape[self.axis]
+        nnz_shard = self.rows_local.shape[0] // D
+        offs = jnp.repeat(
+            jnp.arange(D, dtype=self.rows_local.dtype) * self.rows_per_shard,
+            nnz_shard,
+        )
+        return self.rows_local + offs
+
     @staticmethod
     def from_scipy(A, mesh: Mesh, dtype=jnp.float64, axis: str = "rows"):
         import scipy.sparse as sp

@@ -71,3 +71,31 @@ def test_krylov_on_sharded_operator(mesh):
     np.testing.assert_allclose(np.asarray(res.delta), want, rtol=1e-6)
 
 
+
+
+def test_taylor_plan_and_entries_on_sharded_operator(mesh):
+    """Plan builders and the fused expmv entry evaluator accept the sharded
+    operator: the .rows global-id view makes select_taylor_degree see the
+    same COO triple (padding slots carry val 0), so the plan — and the
+    f(A)_ij entries built from it — match the single-device CooMatrix path."""
+    import scipy.linalg
+
+    from krylov_robustness_tpu.funm.expmv import select_taylor_degree
+    from krylov_robustness_tpu.ops.sparse import CooMatrix
+    from krylov_robustness_tpu.updates.entries import entries_of_f_expmv
+
+    n = 96
+    A = random_graph(n, 0.06, seed=3)
+    M1 = CooMatrix.from_scipy(A)
+    M8 = RowShardedMatrix.from_scipy(A, mesh)
+
+    p1 = select_taylor_degree(M1, t=1.0, b_cols=4)
+    p8 = select_taylor_degree(M8, t=1.0, b_cols=4)
+    assert (p1.m, p1.s, p1.mu) == (p8.m, p8.s, p8.mu)
+
+    Ad = A.toarray()
+    iu, ju = np.nonzero(np.tril(Ad, -1))
+    omega = np.stack([iu[:5], ju[:5]], axis=1)
+    want = scipy.linalg.expm(Ad)[omega[:, 0], omega[:, 1]]
+    got, _ = entries_of_f_expmv(M8, omega, fun="exp")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-12)
