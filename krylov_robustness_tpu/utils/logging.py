@@ -35,11 +35,29 @@ class ResultLog:
         self.csv_path = self.out_dir / f"results_{name}_{stamp}.csv"
         self.jsonl_path = self.out_dir / f"results_{name}_{stamp}.jsonl"
         self.rows: list[dict] = []
-        # resume semantics: a crashed/partial suite re-run on the same day
-        # continues the existing table instead of clobbering it
-        if self.csv_path.exists():
-            with open(self.csv_path, newline="") as f:
+        # resume semantics: a crashed/partial suite re-run continues the
+        # existing table instead of clobbering it. Same-day tables are
+        # continued in place; if none exists, the newest prior-day table
+        # for this suite seeds today's table (its completed rows carry
+        # over, so `has()` skips work finished in an earlier session).
+        seed = self.csv_path
+        if not seed.exists():
+            prior = sorted(self.out_dir.glob(f"results_{name}_*.csv"))
+            seed = prior[-1] if prior else None
+        if seed is not None and seed.exists():
+            with open(seed, newline="") as f:
                 self.rows = [dict(r) for r in csv.DictReader(f)]
+            if seed != self.csv_path and self.rows:
+                # materialize the carried-over rows in today's artifacts
+                with open(self.jsonl_path, "a") as f:
+                    for r in self.rows:
+                        f.write(json.dumps(r, default=_json_default) + "\n")
+                with open(self.csv_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self.columns,
+                                       extrasaction="ignore")
+                    w.writeheader()
+                    for r in self.rows:
+                        w.writerow(r)
 
     def _key_of(self, row: dict):
         return tuple(str(row.get(c)) for c in self.key)

@@ -91,3 +91,30 @@ def test_resultlog_keyed_resume(tmp_path):
     log3.append(dataset="a", method="x", score=0.0)
     log3.append(dataset="a", method="x", score=0.0)
     assert len(log3) == 2 and not log3.has(dataset="a", method="x")
+
+
+def test_resultlog_cross_day_resume(tmp_path):
+    """A table left by an earlier-day session seeds today's table, so
+    multi-day suites skip completed cells instead of redoing them."""
+    import csv
+
+    cols = ["dataset", "method", "score"]
+    # simulate yesterday's artifact by hand (ResultLog stamps today)
+    old = tmp_path / "results_kr_2000-01-01.csv"
+    with open(old, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerow({"dataset": "a", "method": "tuning", "score": 1.0})
+
+    log = ResultLog(tmp_path, "kr", columns=cols, key=("dataset", "method"))
+    assert log.has(dataset="a", method="tuning")
+    assert not log.has(dataset="a", method="rewire")
+    log.append(dataset="a", method="rewire", score=2.0)
+    assert len(log) == 2
+    # today's CSV holds both the carried-over and the new row
+    with open(log.csv_path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert {r["method"] for r in rows} == {"tuning", "rewire"}
+    # yesterday's artifact is untouched
+    with open(old, newline="") as f:
+        assert len(list(csv.DictReader(f))) == 1
