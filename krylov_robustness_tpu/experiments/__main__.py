@@ -94,33 +94,9 @@ def main(argv=None):
 
         cfg = UnweightedConfig(mode=args.mode, k=args.k, Q=args.Q,
                                tol=args.tol)
-        if args.datasets:
-            from ..graphs.io import MISC_PAPER_SET
-
-            # route each named dataset through the right loader
-            from .unweighted import run_dataset
-            from ..graphs.io import load_misc, load_transport
-            from ..utils.logging import ResultLog
-
-            log = ResultLog(args.out_dir, f"unweighted_{cfg.mode}")
-            inter_log = ResultLog(
-                args.out_dir, f"unweighted_{cfg.mode}_intersections",
-                columns=["dataset", "gkb_miobi", "gkb_eigenv",
-                         "miobi_eigenv", "all_three", "budget_size"],
-            )
-            import jax
-
-            for name in args.datasets:
-                try:
-                    A = load_misc(name)
-                except (KeyError, FileNotFoundError):
-                    A = load_transport(name)
-                run_dataset(A, name, cfg, log, dtype=dtype,
-                            inter_log=inter_log)
-                jax.clear_caches()  # per-dataset shapes; avoid host OOM
-        else:
-            run_paper_suite(cfg, out_dir=args.out_dir,
-                            collections=tuple(args.collections), dtype=dtype)
+        run_paper_suite(cfg, out_dir=args.out_dir,
+                        collections=tuple(args.collections),
+                        datasets=args.datasets or None, dtype=dtype)
     elif args.cmd == "budget":
         from .unweighted import run_budget_sweep
 

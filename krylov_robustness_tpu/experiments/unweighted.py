@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
@@ -145,6 +146,15 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     }
 
 
+def _misc_path_exists(name: str) -> bool:
+    from ..graphs.io import data_root
+
+    try:
+        return (data_root() / "datasets_paper" / "Misc" / f"{name}.mat").exists()
+    except FileNotFoundError:
+        return False
+
+
 def run_paper_suite(cfg: UnweightedConfig | None = None,
                     out_dir: str = "results", collections=("misc", "transport"),
                     datasets: list[str] | None = None, dtype=jnp.float64):
@@ -161,7 +171,13 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
     results = {}
     names = []
     if datasets is not None:
-        names = [("custom", d) for d in datasets]
+        # route each named dataset through the right loader (misc first,
+        # then transport — the CLI contract)
+        names = [
+            ("misc" if d in MISC_PAPER_SET or _misc_path_exists(d)
+             else "transport", d)
+            for d in datasets
+        ]
     else:
         if "misc" in collections:
             names += [("misc", d) for d in MISC_PAPER_SET]
@@ -169,12 +185,19 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
             names += [("transport", d) for d in TRANSPORT_PAPER_SET]
     import jax
 
+    from ..utils.checkpoint import GreedyCheckpoint
+
+    ckpt_dir = Path(out_dir) / "checkpoints"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
     for coll, name in names:
         if log.has(method="EIGENV", dataset=name):
             continue  # resumed: EIGENV is logged last, so dataset completed
         A = load_misc(name) if coll == "misc" else load_transport(name)
+        # per-step greedy state survives a killed run (SURVEY.md §5.3):
+        # hour-scale graphs (Vermont, Hawaii, ...) resume mid-sweep
+        ckpt = GreedyCheckpoint(ckpt_dir / f"greedy_{cfg.mode}_{name}.json")
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
-                                    inter_log=inter_log)
+                                    inter_log=inter_log, checkpoint=ckpt)
         jax.clear_caches()  # per-dataset shapes never rehit; avoid host OOM
     return results, log
 
