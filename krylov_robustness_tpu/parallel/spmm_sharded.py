@@ -91,18 +91,18 @@ class RowShardedMatrix:
         order = np.argsort(C.row, kind="stable")
         rows, cols, vals = C.row[order], C.col[order], C.data[order]
         shard_of = rows // rps
-        nnz_shard = max(int(np.bincount(shard_of, minlength=D).max()), 1)
+        counts = np.bincount(shard_of, minlength=D)
+        nnz_shard = max(int(counts.max()), 1)
         r_l = np.zeros((D, nnz_shard), np.int32)
         c_l = np.zeros((D, nnz_shard), np.int32)
         v_l = np.zeros((D, nnz_shard), np.float64)
-        fill = np.zeros(D, np.int64)
-        for r, c, v in zip(rows, cols, vals):
-            s = r // rps
-            k = fill[s]
-            r_l[s, k] = r - s * rps
-            c_l[s, k] = c
-            v_l[s, k] = v
-            fill[s] = k + 1
+        # vectorized fill: entries are row-sorted, so each shard's entries
+        # are contiguous; slot = position within the shard's run
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slot = np.arange(len(rows)) - starts[shard_of]
+        r_l[shard_of, slot] = rows - shard_of * rps
+        c_l[shard_of, slot] = cols
+        v_l[shard_of, slot] = vals
         sh = NamedSharding(mesh, P(axis))
         return RowShardedMatrix(
             mesh=mesh,
@@ -117,14 +117,30 @@ class RowShardedMatrix:
 
     # ---- sharded-in / sharded-out kernel ---------------------------------
     def spmm_sharded(self, x_sharded: jax.Array) -> jax.Array:
-        """x (n, b) row-sharded → y (n, b) row-sharded."""
+        """x (n, b) row-sharded → y (n, b) row-sharded.
+
+        Communication/compute overlap (SURVEY.md §7 "hard parts"): the
+        diagonal-block contributions only need the *local* x rows, so they
+        are computed while the ``all_gather`` for the off-block columns is
+        in flight — the gather is issued first and nothing on the
+        diagonal-block path depends on it, letting XLA's latency-hiding
+        scheduler run the ICI transfer behind the local gather/segment-sum.
+        After RCM reordering the matrix is banded, so most entries sit in
+        the diagonal block and the gather has the whole local pass to hide.
+        """
         axis = self.axis
         rps = self.rows_per_shard
 
         def kern(rows_l, cols, vals, x_l):
+            lo = jax.lax.axis_index(axis).astype(cols.dtype) * rps
+            is_local = (cols >= lo) & (cols < lo + rps)
+            # issue the collective first; the diag pass is independent of it
             x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
-            contrib = vals[:, None] * x_full[cols]
-            return jax.ops.segment_sum(contrib, rows_l, num_segments=rps)
+            cols_l = jnp.clip(cols - lo, 0, rps - 1)
+            diag = jnp.where(is_local, vals, 0)[:, None] * x_l[cols_l]
+            y = jax.ops.segment_sum(diag, rows_l, num_segments=rps)
+            off = jnp.where(is_local, 0, vals)[:, None] * x_full[cols]
+            return y + jax.ops.segment_sum(off, rows_l, num_segments=rps)
 
         f = shard_map(
             kern,
