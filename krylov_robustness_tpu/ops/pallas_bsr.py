@@ -46,23 +46,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _bsr_kernel(cb_ref, rb_ref, first_ref, ablk_ref, x_ref, y_ref):
+def _bsr_kernel(cb_ref, rb_ref, first_ref, ablk_ref, x_ref, y_ref, *,
+                precision):
     t = pl.program_id(0)
 
     @pl.when(first_ref[t] != 0)
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    # HIGHEST: full-f32 MXU passes — the default (fast bf16) loses ~2e-3
-    # relative accuracy per SpMM, far too lossy for 1e-6 Krylov tolerances.
+    # Default HIGHEST: full-f32 MXU passes — plain bf16 (DEFAULT) loses
+    # ~2e-3 relative accuracy per SpMM, far too lossy for 1e-6 Krylov
+    # tolerances. HIGH (bf16_3x) is the measured speed/accuracy middle
+    # ground; adjacency values (0/±1) are bf16-exact so only x rounds.
     y_ref[:] += jnp.dot(
         ablk_ref[0], x_ref[:], preferred_element_type=y_ref.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bsr_spmm(cb, rb, first, ablocks, x_pad, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+def _bsr_spmm(cb, rb, first, ablocks, x_pad, interpret: bool = False,
+              precision=jax.lax.Precision.HIGHEST):
     """x_pad: (n_pad, b) with n_pad a multiple of 128. Returns (n_pad, b)."""
     nblk = ablocks.shape[0]
     n_pad, b = x_pad.shape
@@ -79,7 +83,7 @@ def _bsr_spmm(cb, rb, first, ablocks, x_pad, interpret: bool = False):
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _bsr_kernel,
+        functools.partial(_bsr_kernel, precision=precision),
         out_shape=jax.ShapeDtypeStruct((n_pad, b), x_pad.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -157,7 +161,7 @@ class BsrOperator:
     def tree_flatten(self):
         return (self.ablocks, self.cb, self.rb, self.first), (
             self.n, self.nnz, self.dtype, self.interpret, self.n_pad,
-            self._meta,
+            self._meta, self.precision,
         )
 
     @classmethod
@@ -165,14 +169,17 @@ class BsrOperator:
         obj = cls.__new__(cls)
         (obj.ablocks, obj.cb, obj.rb, obj.first) = children
         (obj.n, obj.nnz, obj.dtype, obj.interpret, obj.n_pad,
-         obj._meta) = aux
+         obj._meta, obj.precision) = aux
         obj._entry_block = obj._meta.entry_block
         obj._entry_offset = obj._meta.entry_offset
         obj._entry_rc = obj._meta.entry_rc
         return obj
 
-    def __init__(self, A_scipy, dtype=jnp.float32, interpret: bool = False):
+    def __init__(self, A_scipy, dtype=jnp.float32, interpret: bool = False,
+                 precision=jax.lax.Precision.HIGHEST):
         import scipy.sparse as sp
+
+        self.precision = precision
 
         A = sp.csr_matrix(A_scipy)
         self.n = A.shape[0]
@@ -247,7 +254,7 @@ class BsrOperator:
         x_pad = jnp.zeros((self.n_pad, b_pad), self.dtype)
         x_pad = x_pad.at[:n, :b].set(x.astype(self.dtype))
         y = _bsr_spmm(self.cb, self.rb, self.first, self.ablocks, x_pad,
-                      interpret=self.interpret)
+                      interpret=self.interpret, precision=self.precision)
         y = y[:n, :b].astype(x.dtype)
         return y[:, 0] if squeeze else y
 

@@ -21,6 +21,18 @@ def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(rows: int, batch: int,
+                 axes: tuple[str, str] = ("rows", "cands")) -> Mesh:
+    """2-D mesh: row partitioning × candidate/probe data parallelism
+    (SURVEY.md §2.5 — DP over candidates composed with row sharding).
+    Lay ``rows`` as the minor (fastest-varying) axis so the all-gather of
+    x row blocks rides neighboring ICI links."""
+    devs = jax.devices()[: rows * batch]
+    if len(devs) < rows * batch:
+        raise ValueError(f"need {rows * batch} devices, have {len(devs)}")
+    return Mesh(np.array(devs).reshape(batch, rows), (axes[1], axes[0]))
+
+
 def maybe_init_distributed() -> None:
     """Initialize multi-host JAX when launched under a pod launcher.
 

@@ -39,14 +39,16 @@ class RowShardedMatrix:
     def tree_flatten(self):
         return (self.rows_local, self.cols, self.vals), (
             self.mesh, self.n, self.n_orig, self.nnz, self.axis,
+            self.batch_axis,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         rows_local, cols, vals = children
-        mesh, n, n_orig, nnz, axis = aux
+        mesh, n, n_orig, nnz, axis, batch_axis = aux
         return cls(mesh=mesh, rows_local=rows_local, cols=cols, vals=vals,
-                   n=n, n_orig=n_orig, nnz=nnz, axis=axis)
+                   n=n, n_orig=n_orig, nnz=nnz, axis=axis,
+                   batch_axis=batch_axis)
 
     mesh: Mesh
     rows_local: jax.Array  # (D * nnz_shard,) row-sharded: local row ids
@@ -56,6 +58,10 @@ class RowShardedMatrix:
     n_orig: int
     nnz: int
     axis: str = "rows"
+    # optional second mesh axis sharding the SpMM *column* (candidate/probe
+    # batch) dimension — the DP analog of SURVEY.md §2.5 item 1 composed
+    # with the row partitioning (TP/SP analog). None = 1-D mesh behavior.
+    batch_axis: str | None = None
 
     @property
     def dtype(self):
@@ -79,7 +85,8 @@ class RowShardedMatrix:
         return self.rows_local + offs
 
     @staticmethod
-    def from_scipy(A, mesh: Mesh, dtype=jnp.float64, axis: str = "rows"):
+    def from_scipy(A, mesh: Mesh, dtype=jnp.float64, axis: str = "rows",
+                   batch_axis: str | None = None):
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -113,6 +120,7 @@ class RowShardedMatrix:
             n_orig=n_orig,
             nnz=int(A.nnz),
             axis=axis,
+            batch_axis=batch_axis,
         )
 
     # ---- sharded-in / sharded-out kernel ---------------------------------
@@ -145,8 +153,9 @@ class RowShardedMatrix:
         f = shard_map(
             kern,
             mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis, None)),
-            out_specs=P(axis, None),
+            in_specs=(P(axis), P(axis), P(axis),
+                      P(axis, self.batch_axis)),
+            out_specs=P(axis, self.batch_axis),
         )
         return f(self.rows_local, self.cols, self.vals, x_sharded)
 

@@ -41,6 +41,27 @@ def test_sharded_spmm_sharded_io(mesh):
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_spmm_2d_mesh_batch_axis():
+    """2-D mesh: rows × candidate batch ('cands') — the column dimension is
+    data-parallel over the second axis (SURVEY.md §2.5 DP ∘ row sharding)."""
+    from krylov_robustness_tpu.parallel.mesh import make_mesh_2d
+
+    mesh2 = make_mesh_2d(4, 2)
+    n, b = 256, 6
+    A = random_graph(n, 0.05, seed=3, weighted=True)
+    M = RowShardedMatrix.from_scipy(A, mesh2, batch_axis="cands")
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((n, b))
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh2, P("rows", "cands")))
+    y = M.spmm_sharded(xs)
+    assert y.sharding.spec == P("rows", "cands")
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-12, atol=1e-12)
+    # replicated convenience API also works on the 2-D-bound operator
+    np.testing.assert_allclose(np.asarray(M @ jnp.asarray(x)), A @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_krylov_on_sharded_operator(mesh):
     """The single-chip Krylov layers run unchanged on the sharded operator."""
     from krylov_robustness_tpu.updates.trace_update import (
