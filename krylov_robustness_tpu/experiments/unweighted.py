@@ -147,10 +147,10 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
 
 
 def _misc_path_exists(name: str) -> bool:
-    from ..graphs.io import data_root
+    from ..graphs.io import misc_path
 
     try:
-        return (data_root() / "datasets_paper" / "Misc" / f"{name}.mat").exists()
+        return misc_path(name).exists()
     except FileNotFoundError:
         return False
 
@@ -195,7 +195,12 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
         A = load_misc(name) if coll == "misc" else load_transport(name)
         # per-step greedy state survives a killed run (SURVEY.md §5.3):
         # hour-scale graphs (Vermont, Hawaii, ...) resume mid-sweep
-        ckpt = GreedyCheckpoint(ckpt_dir / f"greedy_{cfg.mode}_{name}.json")
+        ckpt = GreedyCheckpoint(
+            ckpt_dir / f"greedy_{cfg.mode}_{name}.json",
+            fingerprint={"mode": cfg.mode, "k": cfg.k, "Q": cfg.Q,
+                         "tol": cfg.tol, "order": cfg.order,
+                         "dtype": jnp.dtype(dtype).name},
+        )
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
                                     inter_log=inter_log, checkpoint=ckpt)
         jax.clear_caches()  # per-dataset shapes never rehit; avoid host OOM

@@ -88,8 +88,14 @@ def load_problem_adjacency(path: Path) -> sp.spmatrix:
     return sp.csr_matrix(A)
 
 
+def misc_path(name: str) -> Path:
+    """Single source of truth for the Misc collection layout (used by both
+    the loader and the experiment drivers' routing check)."""
+    return data_root() / "datasets_paper" / "Misc" / f"{name}.mat"
+
+
 def load_misc(name: str) -> sp.spmatrix:
-    return load_problem_adjacency(data_root() / "datasets_paper" / "Misc" / f"{name}.mat")
+    return load_problem_adjacency(misc_path(name))
 
 
 def load_transport(name: str) -> sp.spmatrix:

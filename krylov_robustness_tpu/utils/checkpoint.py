@@ -15,8 +15,14 @@ import numpy as np
 
 
 class GreedyCheckpoint:
-    def __init__(self, path: str | Path):
+    def __init__(self, path: str | Path, fingerprint: dict | None = None):
+        """``fingerprint`` pins the sweep parameters (k, Q, tol, order,
+        dtype, ...): a checkpoint written under different parameters is
+        silently IGNORED on load instead of replaying a stale sweep."""
         self.path = Path(path)
+        self.fingerprint = (
+            {k: str(v) for k, v in fingerprint.items()} if fingerprint else None
+        )
 
     def save(self, dataset: str, step: int, edges: list, rob: float,
              extra: dict | None = None):
@@ -26,6 +32,7 @@ class GreedyCheckpoint:
             "edges": [list(map(int, e)) for e in edges],
             "rob_variation": float(rob),
             "extra": extra or {},
+            "fingerprint": self.fingerprint,
         }
         tmp = self.path.with_suffix(".tmp")
         tmp.write_text(json.dumps(state))
@@ -37,6 +44,9 @@ class GreedyCheckpoint:
         state = json.loads(self.path.read_text())
         if state.get("dataset") != dataset:
             return None
+        if self.fingerprint is not None and \
+                state.get("fingerprint") != self.fingerprint:
+            return None  # parameters changed since the checkpoint was cut
         state["edges"] = np.asarray(state["edges"], dtype=np.int64).reshape(-1, 2)
         return state
 

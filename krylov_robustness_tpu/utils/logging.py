@@ -12,6 +12,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import json
+import re
 import time
 from pathlib import Path
 
@@ -42,7 +43,17 @@ class ResultLog:
         # over, so `has()` skips work finished in an earlier session).
         seed = self.csv_path
         if not seed.exists():
-            prior = sorted(self.out_dir.glob(f"results_{name}_*.csv"))
+            # Only date-shaped stems of THIS exact suite qualify: the bare
+            # glob would also match sibling suites sharing the name prefix
+            # (`foo` vs `foo_intersections`) and seed the table from the
+            # wrong schema.
+            pat = re.compile(
+                rf"^results_{re.escape(name)}_\d{{4}}-\d{{2}}-\d{{2}}\.csv$"
+            )
+            prior = sorted(
+                p for p in self.out_dir.glob(f"results_{name}_*.csv")
+                if pat.match(p.name)
+            )
             seed = prior[-1] if prior else None
         if seed is not None and seed.exists():
             with open(seed, newline="") as f:

@@ -93,6 +93,61 @@ def test_resultlog_keyed_resume(tmp_path):
     assert len(log3) == 2 and not log3.has(dataset="a", method="x")
 
 
+def test_resultlog_seed_ignores_sibling_suites(tmp_path):
+    """Regression (round-1 data-integrity bug, utils/logging.py:45): suite
+    `foo` must never be seeded from `foo_bar`/`foo_intersections` artifacts
+    whose stem shares the prefix — only date-shaped stems of the exact suite
+    name qualify."""
+    import csv
+
+    icols = ["dataset", "overlap"]
+    old_sibling = tmp_path / "results_foo_intersections_2000-01-02.csv"
+    with open(old_sibling, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=icols)
+        w.writeheader()
+        w.writerow({"dataset": "a", "overlap": 3})
+
+    cols = ["dataset", "method", "score"]
+    old_own = tmp_path / "results_foo_2000-01-01.csv"
+    with open(old_own, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerow({"dataset": "a", "method": "tuning", "score": 1.0})
+
+    # the sibling sorts lexicographically after old_own; the buggy glob
+    # picked it — the fixed one must seed from old_own
+    log = ResultLog(tmp_path, "foo", columns=cols, key=("dataset", "method"))
+    assert len(log) == 1
+    assert log.has(dataset="a", method="tuning")
+    assert all(r.get("method") for r in log.rows)  # no blank foreign rows
+
+    # with no same-suite prior at all, no seeding happens
+    log2 = ResultLog(tmp_path, "bar", columns=cols, key=("dataset", "method"))
+    (tmp_path / "results_bar_intersections_2000-01-02.csv").write_text(
+        "dataset,overlap\na,3\n")
+    log3 = ResultLog(tmp_path, "bar", columns=cols, key=("dataset", "method"))
+    assert len(log2) == 0 and len(log3) == 0
+
+
+def test_greedy_checkpoint_fingerprint(tmp_path):
+    """A checkpoint cut under different sweep parameters must not resume."""
+    p = tmp_path / "ck.json"
+    ck = GreedyCheckpoint(p, fingerprint={"k": 50, "Q": 250, "tol": 1e-6})
+    ck.save("g", 2, [(0, 1), (1, 2)], -0.5)
+    assert ck.load("g") is not None
+    # same params → resumes; changed k → ignored
+    same = GreedyCheckpoint(p, fingerprint={"k": 50, "Q": 250, "tol": 1e-6})
+    assert same.load("g") is not None
+    changed = GreedyCheckpoint(p, fingerprint={"k": 10, "Q": 250, "tol": 1e-6})
+    assert changed.load("g") is None
+    # legacy checkpoint (no fingerprint stored) + fingerprinted loader → ignored
+    legacy = GreedyCheckpoint(p)
+    legacy.save("g", 1, [(0, 1)], -0.1)
+    assert same.load("g") is None
+    # unfingerprinted loader keeps legacy behavior
+    assert legacy.load("g") is not None
+
+
 def test_resultlog_cross_day_resume(tmp_path):
     """A table left by an earlier-day session seeds today's table, so
     multi-day suites skip completed cells instead of redoing them."""
