@@ -95,9 +95,30 @@ def select_taylor_degree(
     ) / (m_max * b_cols):
         alpha = np.full(p_max - 1, normA)
     else:
+        vals = np.asarray(A.vals)
+        nonneg = bool(np.all(vals >= 0)) and mu <= 0.0
+        Bs = None
+        if not nonneg:
+            # mixed-sign operator: the |A|-product bound would inflate the
+            # Taylor degree; use the normest1-style block estimator on the
+            # true shifted operator (``functions/normAm.m:25-51``)
+            import scipy.sparse as _sp
+
+            from .normest import normest1_power
+
+            rows = np.asarray(A.rows)
+            cols = np.asarray(A.cols)
+            Bs = _sp.csr_matrix(
+                (vals.astype(np.float64), (rows, cols)), shape=(n, n)
+            )
         eta = np.zeros(p_max)
         for p in range(1, p_max + 1):
-            c = float(normAm_abs(A, p + 1, mu=mu))
+            if nonneg:
+                c = float(normAm_abs(A, p + 1, mu=mu))
+            else:
+                c = normest1_power(
+                    lambda X: Bs @ X - mu * X, n, m=p + 1, t=2
+                )
             eta[p - 1] = (abs(t) ** (p + 1) * c) ** (1.0 / (p + 1))
         alpha = np.maximum(eta[: p_max - 1], eta[1:p_max])
 

@@ -72,6 +72,86 @@ def normest2(A, tol: float = 1e-2, max_iter: int = 100) -> jax.Array:
     return e
 
 
+def normest1_power(matvec, n: int, m: int = 1, t: int = 2,
+                   itmax: int = 5, seed: int = 0) -> float:
+    """Block 1-norm estimate of ‖B^m‖₁ for the operator ``matvec: X → B X``
+    (Higham & Tisseur 2000) — the general-matrix branch of the reference's
+    ``functions/normAm.m:25-51`` (MATLAB ``normest1`` with the ``afun_power``
+    callback). Used when B has mixed signs, where the |B|-product bound of
+    :func:`normAm_nonneg` would inflate the Taylor degree.
+
+    B must be real symmetric (all operators in this codebase are), so the
+    transposed products of the reference callback reuse ``matvec``. Host-side
+    numpy: degree planning is a host-side activity (see ``funm/expmv.py``)
+    and the iteration count is tiny (≤ itmax block products of width t).
+    """
+    import numpy as np
+
+    def power(X):
+        for _ in range(m):
+            X = matvec(X)
+        return X
+
+    rng = np.random.default_rng(seed)
+    X = np.ones((n, t), dtype=np.float64)
+    if t > 1:
+        X[:, 1:] = rng.choice([-1.0, 1.0], size=(n, t - 1))
+        # deduplicate parallel sign columns
+        for j in range(1, t):
+            while any(
+                abs(X[:, j] @ X[:, i]) == n for i in range(j)
+            ):
+                X[:, j] = rng.choice([-1.0, 1.0], size=n)
+    X /= n
+
+    est_old = 0.0
+    ind_best = 0
+    ind_hist: set[int] = set()
+    S = np.zeros((n, t))
+    est = 0.0
+    for k in range(1, itmax + 1):
+        Y = power(X)
+        sums = np.sum(np.abs(Y), axis=0)
+        j = int(np.argmax(sums))
+        est = float(sums[j])
+        if est > est_old or k == 2:
+            ind_best = j if k == 1 else int(ind[j])  # noqa: F821
+        if k >= 2 and est <= est_old:
+            est = est_old
+            break
+        est_old = est
+        S_old = S
+        S = np.sign(Y)
+        S[S == 0] = 1.0
+        if t > 1:
+            # every column of S parallel to one of S_old → converged
+            if np.all(np.any(np.abs(S_old.T @ S) == n, axis=0)):
+                break
+            # replace columns parallel to earlier/new ones by random signs
+            for j2 in range(t):
+                while any(
+                    abs(S[:, j2] @ S[:, i]) == n for i in range(j2)
+                ) or np.any(np.abs(S_old.T @ S[:, j2]) == n):
+                    S[:, j2] = rng.choice([-1.0, 1.0], size=n)
+        Z = power(S)  # B symmetric: Bᵀ S = B S
+        h = np.max(np.abs(Z), axis=1)
+        if k >= 2 and float(np.max(h)) == float(h[ind_best]):
+            break
+        ind = np.argsort(-h, kind="stable")
+        if t > 1:
+            if set(map(int, ind[:t])) <= ind_hist:
+                break
+            fresh = [int(i) for i in ind if int(i) not in ind_hist][:t]
+            ind = np.asarray(fresh + [int(i) for i in ind[:t]], dtype=int)[:t]
+        else:
+            ind = ind[:t]
+        X = np.zeros((n, t))
+        for j2, i in enumerate(ind[:t]):
+            X[int(i), j2] = 1.0
+        ind_hist.update(int(i) for i in ind[:t])
+    return est
+
+
 def normest2_host(A_scipy, tol: float = 1e-2) -> float:
     """Host-side 2-norm estimate (scipy eigsh) — MATLAB normest counterpart
     for TPU sessions where a device program is not worth the compile."""

@@ -26,15 +26,25 @@ DEFAULT_DATA_ROOTS = (
     str(Path(__file__).resolve().parents[2] / "data"),
 )
 
-# Dataset indices used by the paper drivers are positions in a sorted dir
-# listing; we pin the actual names for reproducibility.
+# Dataset indices used by the paper drivers are positions in a MATLAB
+# ``dir`` listing, which sorts ASCIIbetically and includes ``.``/``..`` as
+# entries 1-2 (``test_unweighted_break.m:28-31``: Misc range
+# [3,4,6,9,10,11,12,15,16,17,18], Transport range [3:13]). We pin the
+# resolved names for reproducibility.
 MISC_PAPER_SET = [
-    "Cardiff", "CollegeMsg", "Edinburgh", "USAir97", "as_735", "ca-AstroPh",
-    "ca-CondMat", "email", "jazz", "london", "netscience",
+    "Cardiff", "CollegeMsg", "Edinburgh", "as_735", "ca-AstroPh",
+    "ca-CondMat", "ca-HepTh", "london", "netscience", "soc-Epinions1",
+    "yeast",
 ]
 TRANSPORT_PAPER_SET = [
     "Anaheim", "Austin", "Barcelona", "Birmingham", "ChicagoRegional", "DC",
     "Hawaii", "Philadelphia", "RhodeIsland", "Rome", "Sydney",
+]
+# Budget-sweep road networks (``test_unweighted_break_budget.m:22``:
+# Transport dir indices [3,6,7,9,11,12] with the ./.. offset).
+BUDGET_PAPER_SET = [
+    "Anaheim", "Birmingham", "ChicagoRegional", "Hawaii", "RhodeIsland",
+    "Rome",
 ]
 POWERGRID_PAPER_SET_INDICES = [13, 5, 15, 19, 17, 4, 9, 11, 7, 1]  # 1-based
 

@@ -38,6 +38,44 @@ def test_normest2_close_to_spectral_norm():
     assert abs(est - lam) / lam < 0.05
 
 
+def test_normest1_power_exact_on_mixed_sign():
+    # ‖B^m‖₁ via the block estimator vs dense truth on mixed-sign symmetric B
+    from krylov_robustness_tpu.funm.normest import normest1_power
+
+    rng = np.random.default_rng(3)
+    for m in (1, 2, 3, 5):
+        B = rng.standard_normal((60, 60))
+        B = (B + B.T) / 2
+        want = np.linalg.norm(np.linalg.matrix_power(B, m), 1)
+        est = normest1_power(lambda X: B @ X, 60, m=m, t=2)
+        # normest1 is a lower bound that is almost always exact or within a
+        # few percent (Higham & Tisseur 2000)
+        assert est <= want * (1 + 1e-10)
+        assert est >= 0.5 * want
+
+
+def test_select_taylor_degree_mixed_sign_not_worse_than_abs_bound():
+    # a shifted/weighted operator with negative entries: the normest1 branch
+    # must not pick a costlier (m, s) than the |A|-product upper bound
+    rng = np.random.default_rng(7)
+    A = random_graph(80, 0.1, seed=11, weighted=True).toarray()
+    A = A - 0.5 * (A > 0) * A.mean()  # keep symmetric, mix signs
+    A[A != 0] -= 0.03
+    A = (A + A.T) / 2
+    S = sp.csr_matrix(A * 4.0)
+    M = CooMatrix.from_scipy(S)
+    plan = select_taylor_degree(M, t=1.0, b_cols=1, force_estm=True)
+    # dense truth: cost of the chosen plan must cover the true norm demand
+    import scipy.linalg as sla
+
+    want = sla.expm(S.toarray())
+    b = rng.standard_normal((80, 2))
+    got = np.asarray(expmv(M, jnp.asarray(b), t=1.0, plan=plan))
+    np.testing.assert_allclose(
+        got, want @ b, rtol=1e-8, atol=1e-8 * np.abs(want @ b).max()
+    )
+
+
 @pytest.mark.parametrize("t", [1.0, 0.5, -0.3])
 def test_expmv_matches_dense(t):
     A = random_graph(90, 0.08, seed=2)
