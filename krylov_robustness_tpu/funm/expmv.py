@@ -197,7 +197,8 @@ def _expmv_core(A, b, t, mu, tol, m: int, s: int, shift: bool, full_term: bool):
 
 def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
           prec: str = "double", shift: bool = True, full_term: bool = False,
-          b_cols_hint: int | None = None) -> jax.Array:
+          b_cols_hint: int | None = None,
+          debug_numerics: bool = False) -> jax.Array:
     """exp(t·A)·b. Builds a plan on first use if not provided.
 
     For repeated application with the same A (stochastic trace, Krylov seeds)
@@ -218,6 +219,24 @@ def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
             "build a plan per t (degree selection depends only on |t|, so "
             "this is cheap for sign flips)"
         )
+    if debug_numerics:
+        # SURVEY.md §5.2: the TPU analog of the reference's runtime warnings
+        # — run the Taylor loop under checkify so div/NaN faults surface
+        # with a per-column finite report instead of silently propagating.
+        from ..utils.guards import checkified, finite_mask
+
+        err, f = checkified(
+            partial(_expmv_core, m=plan.m, s=plan.s, shift=plan.shift,
+                    full_term=full_term),
+            A, b, plan.t, plan.mu, plan.tol,
+        )
+        err.throw()
+        cols_ok = finite_mask(f, axis=1 if f.ndim == 2 else None)
+        if not bool(jnp.all(cols_ok)):
+            raise FloatingPointError(
+                f"expmv produced non-finite columns: {np.nonzero(~np.asarray(cols_ok))[0]}"
+            )
+        return f
     return _expmv_core(
         A, b, plan.t, plan.mu, plan.tol, plan.m, plan.s, plan.shift, full_term
     )

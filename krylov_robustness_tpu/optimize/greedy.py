@@ -32,6 +32,27 @@ from ..updates.trace_update import (
     DEFAULT_SCHEDULE,
     trace_fun_update_edges,
 )
+from ..utils.guards import check_finite
+
+
+def _guard_scores(scores: np.ndarray, step: int, dataset: str = ""):
+    """Numerical-health gate on the per-step candidate scores (SURVEY.md
+    §5.2): a NaN/Inf score would silently win/lose the argmin, corrupting
+    the whole sweep — surface it as a warning with the offending count
+    (the reference's analog is its non-convergence warning,
+    ``trace_fun_update.m:128-130``)."""
+    report = check_finite(scores, name=f"greedy scores step {step} {dataset}")
+    if not report.finite:
+        import warnings
+
+        bad = int(np.sum(~np.isfinite(scores)))
+        warnings.warn(
+            f"{report.name}: {bad}/{scores.size} candidate scores are "
+            f"non-finite (max |x| = {report.max_abs:.3e}); they are "
+            "excluded from the argmin",
+            RuntimeWarning,
+        )
+    return report.finite
 
 
 @dataclasses.dataclass
@@ -200,6 +221,8 @@ def krylov_miobi(
             rescale=rescale, schedule=schedule,
         )
         scores = np.asarray(res.delta).copy()
+        if not _guard_scores(scores[alive], len(chosen)):
+            scores[~np.isfinite(scores)] = np.inf if mode == "break" else -np.inf
         scores[~alive] = np.inf if mode == "break" else -np.inf
         h = int(np.argmin(scores) if mode == "break" else np.argmax(scores))
         i, j = int(E[h, 0]), int(E[h, 1])
@@ -335,7 +358,9 @@ def greedy_krylov(
             F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
             rescale=rescale, schedule=schedule,
         )
-        scores = np.asarray(res.delta)
+        scores = np.asarray(res.delta).copy()
+        if not _guard_scores(scores, step, dataset):
+            scores[~np.isfinite(scores)] = np.inf if mode == "break" else -np.inf
         h = int(np.argmin(scores) if mode == "break" else np.argmax(scores))
         i, j = int(E[h, 0]), int(E[h, 1])
         chosen.append((i, j))

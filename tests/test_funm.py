@@ -206,3 +206,23 @@ def test_expmv_plan_t_mismatch_raises():
     x = jnp.ones((60, 2))
     with pytest.raises(ValueError):
         expmv(M, x, t=-1.0, plan=plan)
+
+
+def test_expmv_debug_numerics_clean_path():
+    A = random_graph(70, 0.08, seed=4)
+    M = CooMatrix.from_scipy(A)
+    b = np.random.default_rng(1).standard_normal((70, 3))
+    want = scipy.linalg.expm(A.toarray()) @ b
+    got = np.asarray(expmv(M, jnp.asarray(b), debug_numerics=True))
+    np.testing.assert_allclose(got, want, rtol=1e-9,
+                               atol=1e-9 * np.abs(want).max())
+
+
+def test_greedy_guard_warns_on_nonfinite_scores():
+    from krylov_robustness_tpu.optimize.greedy import _guard_scores
+
+    scores = np.array([1.0, np.nan, 2.0])
+    with pytest.warns(RuntimeWarning, match="non-finite"):
+        ok = _guard_scores(scores, 0, "toy")
+    assert not ok
+    assert _guard_scores(np.array([1.0, 2.0]), 1, "toy")
