@@ -81,6 +81,11 @@ def main(argv=None):
 
     sub.add_parser("trace", help="trace(exp(A)) wall-time benchmark")
 
+    pa = sub.add_parser("parity", help="deterministic 1e-6 accuracy tables "
+                        "(expmv action + tightened trace) vs dense oracles")
+    pa.add_argument("--dense-cutoff", type=int, default=2500)
+    pa.add_argument("--trace-tol", type=float, default=1e-6)
+
     s = sub.add_parser("scaling", help="sharded-SpMM scaling efficiency")
     s.add_argument("--dataset", default="Barcelona")
     s.add_argument("--batch", type=int, default=8)
@@ -116,6 +121,12 @@ def main(argv=None):
         from .trace_bench import run
 
         run(out_dir=args.out_dir, dtype=dtype)
+    elif args.cmd == "parity":
+        from .parity import run_expmv_parity, run_trace_tight
+
+        run_expmv_parity(out_dir=args.out_dir,
+                         dense_cutoff=args.dense_cutoff)
+        run_trace_tight(out_dir=args.out_dir, tol=args.trace_tol)
     elif args.cmd == "scaling":
         import json
 

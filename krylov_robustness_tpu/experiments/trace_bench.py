@@ -48,18 +48,19 @@ def run(datasets=None, out_dir: str = "results", dtype=jnp.float64,
         t0 = time.time()
         tr = trace_exp(M, tol=tol)
         dt = time.time() - t0
-        rel = float("nan")
         if A.shape[0] <= dense_cutoff:
-            import scipy.linalg
-
             dense = float(
                 np.sum(np.exp(np.linalg.eigvalsh(A.toarray())))
             )
             rel = abs(tr - dense) / dense
+            rel_str = f"{rel:.2e}"
+        else:
+            # no silent nan: the dense oracle is intentionally not computed
+            rel = rel_str = "skipped(n>cutoff)"
         log.append(dataset=label, n=A.shape[0], nnz=A.nnz, time=dt,
                    trace=tr, rel_err_vs_dense=rel)
         if verbose:
             print(f"{label:14s} n={A.shape[0]:6d} trace={tr:.6e} "
-                  f"[{dt:6.2f}s] rel_err={rel:.2e}")
+                  f"[{dt:6.2f}s] rel_err={rel_str}")
         out[label] = (tr, dt, rel)
     return out, log

@@ -38,13 +38,14 @@ from ..utils.config import UnweightedConfig
 from ..utils.logging import ResultLog, Timer
 
 
-def rescore_edges(M, edges: np.ndarray, sign: float, tol: float) -> float:
+def rescore_edges(M, edges: np.ndarray, sign: float, tol: float,
+                  shift: float = 0.0) -> float:
     """Uniform re-scoring of a joint edge edit through trace_fun_update —
     the cross-method evaluator invariant (``test_unweighted_break.m:93-95``)."""
     U, B, _ = edge2low_rank(edges, M.n, sign=sign)
     res = trace_fun_update_batched(
         M, jnp.asarray(U, dtype=M.dtype)[None],
-        jnp.asarray(B, dtype=M.dtype)[None], tol=tol,
+        jnp.asarray(B, dtype=M.dtype)[None], tol=tol, shift=shift,
     )
     return float(res.delta[0])
 
@@ -73,10 +74,17 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
         from ..funm.normest import normest2_host
         from ..graphs.centrality import compute_centrality_host
 
-        nrm = float(np.exp(normest2_host(A, tol=1e-2)))
+        lognrm = float(normest2_host(A, tol=1e-2))
     else:
-        nrm = float(np.exp(float(normest2(M, tol=1e-2))))
-    trexp = trace_exp(M)
+        lognrm = float(normest2(M, tol=1e-2))
+    nrm = float(np.exp(min(lognrm, 709.0)))
+    # Spectral shift for hub graphs: in f32, exp(λmax) overflows above ~88
+    # and norms of O(exp(λmax)) vectors above ~44 — score trace(exp(A−σI))
+    # instead (tr_variation = Δ/trexp is σ-invariant); see
+    # funm.dense.trace_fun_difference_eigs.
+    f32 = jnp.dtype(dtype).itemsize == 4
+    sigma = lognrm if (f32 and lognrm > 20.0) or lognrm > 600.0 else 0.0
+    trexp = trace_exp(M, sigma=sigma)
     timer = Timer()
     centrality = (
         compute_centrality_host(A, cfg.centrality)
@@ -84,10 +92,12 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
         else compute_centrality(M, cfg.centrality)
     )
     time_centrality = timer.lap()
-    tol_abs = cfg.tol * nrm
+    tol_abs = cfg.tol * float(np.exp(lognrm - sigma))
     sign = -1.0 if cfg.mode == "break" else +1.0
     if verbose:
-        print(f"Dataset: {name}\t n: {n}\t budget: {cfg.k}\t ||exp(A)||={nrm:.1e}")
+        shift_note = f" shift={sigma:.1f}" if sigma else ""
+        print(f"Dataset: {name}\t n: {n}\t budget: {cfg.k}\t "
+              f"||exp(A)||=e^{lognrm:.1f}{shift_note}")
 
     # ---- GREEDY_KRYLOV ---------------------------------------------------
     Q = min(m - cfg.k, cfg.Q) if cfg.mode == "break" else cfg.Q
@@ -95,6 +105,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     res = greedy_krylov(
         A, cfg.k, Q, centrality, order=cfg.order, tol=tol_abs,
         mode=cfg.mode, dtype=dtype, checkpoint=checkpoint, dataset=name,
+        shift=sigma,
     )
     t_gkb = timer.lap() + time_centrality
     log.append(
@@ -109,7 +120,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
         mi = miobi_break(A, cfg.k, topT=cfg.miobi_eigs)
     else:
         mi = miobi_make(A, cfg.k, topT=cfg.miobi_eigs)
-    delta_miobi = rescore_edges(M, mi.edges, sign, tol_abs)
+    delta_miobi = rescore_edges(M, mi.edges, sign, tol_abs, shift=sigma)
     t_miobi = timer.lap() + time_centrality
     log.append(
         method="MIOBI", dataset=name, n=n, m=m, searchspace_size=m,
@@ -120,7 +131,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     # ---- EIGENV (rescored) --------------------------------------------------
     timer.lap()
     ev = eigenv_edges(A, centrality, cfg.k, mode=cfg.mode)
-    delta_ev = rescore_edges(M, ev, sign, tol_abs)
+    delta_ev = rescore_edges(M, ev, sign, tol_abs, shift=sigma)
     t_ev = timer.lap() + time_centrality
     log.append(
         method="EIGENV", dataset=name, n=n, m=m, searchspace_size=cfg.k,
@@ -199,7 +210,11 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
             ckpt_dir / f"greedy_{cfg.mode}_{name}.json",
             fingerprint={"mode": cfg.mode, "k": cfg.k, "Q": cfg.Q,
                          "tol": cfg.tol, "order": cfg.order,
-                         "dtype": jnp.dtype(dtype).name},
+                         "dtype": jnp.dtype(dtype).name,
+                         # scoring-units version: v2 = spectral-shift scoring
+                         # (rob_variation in e^{-σ} units on hub graphs) —
+                         # invalidates checkpoints written in v1 units
+                         "score_ver": 2},
         )
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
                                     inter_log=inter_log, checkpoint=ckpt)

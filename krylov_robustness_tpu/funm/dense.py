@@ -26,21 +26,30 @@ def fun_sym(M: jax.Array, f) -> jax.Array:
     return jnp.einsum("...ij,...j,...kj->...ik", V, f(w), V)
 
 
-def trace_fun_difference_eigs(d1: jax.Array, d2: jax.Array, f) -> jax.Array:
-    """sum f(d1) - f(d2) for sorted eigenvalue arrays, with the
+def trace_fun_difference_eigs(d1: jax.Array, d2: jax.Array, f,
+                              shift=0.0) -> jax.Array:
+    """sum f(d1−σ) - f(d2−σ) for sorted eigenvalue arrays, with the
     cancellation-safe form for f=exp used by the reference
     (``functions/trace_fun_update.m:44-50``):
     ``sum(exp(d1) .* (1 - exp(d2 - d1)))``.
+
+    ``shift`` (σ) evaluates the SHIFTED function trace(f(·−σI)): with
+    σ≈λmax(A) every exponential stays O(1), which keeps the f32 TPU path
+    finite on hub graphs where exp(λmax) overflows float32 (λmax ≳ 88,
+    e.g. ca-AstroPh / soc-Epinions1) or where norms of O(exp(λmax))
+    vectors overflow (λmax ≳ 44, e.g. as_735). Ratios like
+    Δtrace/trace(exp(A)) are invariant under a common σ.
 
     Batched over leading dims; reduces the trailing dim.
     """
     f = get_fun(f)
     if f.name == "exp":
-        return jnp.sum(jnp.exp(d1) * -jnp.expm1(d2 - d1), axis=-1)
-    return jnp.sum(f(d1) - f(d2), axis=-1)
+        return jnp.sum(jnp.exp(d1 - shift) * -jnp.expm1(d2 - d1), axis=-1)
+    return jnp.sum(f(d1 - shift) - f(d2 - shift), axis=-1)
 
 
-def trace_fun_update_dense(A: jax.Array, U: jax.Array, B: jax.Array, f) -> jax.Array:
+def trace_fun_update_dense(A: jax.Array, U: jax.Array, B: jax.Array, f,
+                           shift=0.0) -> jax.Array:
     """Exact trace(f(A + U B Uᵀ) − f(A)) via two eighs — the reference's dense
     small-n fast path and debug oracle (``functions/trace_fun_update.m:37-51``).
     """
@@ -48,7 +57,7 @@ def trace_fun_update_dense(A: jax.Array, U: jax.Array, B: jax.Array, f) -> jax.A
     At = (At + At.T) / 2
     d1 = jnp.sort(jnp.linalg.eigvalsh(At))
     d2 = jnp.sort(jnp.linalg.eigvalsh((A + A.T) / 2))
-    return trace_fun_difference_eigs(d1, d2, f)
+    return trace_fun_difference_eigs(d1, d2, f, shift=shift)
 
 
 def frechet_offdiag_sym(w1, V1, w2, V2, C, f) -> jax.Array:

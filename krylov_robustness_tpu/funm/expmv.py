@@ -156,11 +156,18 @@ def normAm_abs(A, m: int, mu: float = 0.0) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("m", "s", "shift", "full_term"))
-def _expmv_core(A, b, t, mu, tol, m: int, s: int, shift: bool, full_term: bool):
+def _expmv_core(A, b, t, mu, tol, m: int, s: int, shift: bool, full_term: bool,
+                sigma=0.0):
     dtype = b.dtype
     t = jnp.asarray(t, dtype)
     mu = jnp.asarray(mu, dtype)
-    eta = jnp.exp(t * mu / s) if shift else jnp.asarray(1.0, dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    # spectral shift: computing exp(t·(A−σI))·b only changes the per-stage
+    # unshift factor (the Taylor recurrence itself runs on A−μI as before);
+    # with σ≈λmax all stage values stay O(‖b‖) — the f32 overflow guard for
+    # hub graphs (see funm.dense.trace_fun_difference_eigs).
+    mu_eff = (mu if shift else jnp.asarray(0.0, dtype)) - sigma
+    eta = jnp.exp(t * mu_eff / s)
 
     def op(x):
         y = A @ x
@@ -197,9 +204,10 @@ def _expmv_core(A, b, t, mu, tol, m: int, s: int, shift: bool, full_term: bool):
 
 def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
           prec: str = "double", shift: bool = True, full_term: bool = False,
-          b_cols_hint: int | None = None,
+          b_cols_hint: int | None = None, sigma: float = 0.0,
           debug_numerics: bool = False) -> jax.Array:
-    """exp(t·A)·b. Builds a plan on first use if not provided.
+    """exp(t·(A − σI))·b (σ=``sigma``, default 0 ⇒ plain exp(t·A)·b).
+    Builds a plan on first use if not provided.
 
     For repeated application with the same A (stochastic trace, Krylov seeds)
     compute ``plan = select_taylor_degree(A, t, b_cols)`` once and pass it in
@@ -227,7 +235,7 @@ def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
 
         err, f = checkified(
             partial(_expmv_core, m=plan.m, s=plan.s, shift=plan.shift,
-                    full_term=full_term),
+                    full_term=full_term, sigma=sigma),
             A, b, plan.t, plan.mu, plan.tol,
         )
         err.throw()
@@ -238,5 +246,6 @@ def expmv(A, b: jax.Array, t: float = 1.0, plan: ExpmvPlan | None = None,
             )
         return f
     return _expmv_core(
-        A, b, plan.t, plan.mu, plan.tol, plan.m, plan.s, plan.shift, full_term
+        A, b, plan.t, plan.mu, plan.tol, plan.m, plan.s, plan.shift, full_term,
+        sigma=sigma,
     )

@@ -45,7 +45,16 @@ def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, m_probe: int):
     def defl_op(x):
         return _project(Qacc, op(_project(Qacc, x)))
 
-    Q, _ = jnp.linalg.qr(defl_op(S))
+    Y = defl_op(S)
+    Q, R = jnp.linalg.qr(Y)
+    # rank guard: once deflation nearly spans the range, qr of the
+    # residual returns junk orthonormal columns (|R_ii| ≈ 0) that are NOT
+    # orthogonal to Qacc — keeping them double-counts eigenvalue mass and
+    # the estimate runs away. Zero them out (jit-static shapes).
+    rdiag = jnp.abs(jnp.diagonal(R))
+    keep = rdiag > 100 * jnp.finfo(dtype).eps * jnp.maximum(
+        jnp.max(rdiag), jnp.asarray(1e-300, dtype))
+    Q = Q * keep[None, :].astype(dtype)
     tr = tr + jnp.trace(Q.T @ defl_op(Q))
     Qacc = jax.lax.dynamic_update_slice(Qacc, Q, (0, t_idx * m_probe))
 
@@ -79,6 +88,11 @@ def mc_trace(
     if key is None:
         key = jax.random.PRNGKey(0)
     K = max(-(-maxit // (3 * m_probe)), 1)
+    # deflation cannot usefully exceed the space dimension: cap the outer
+    # budget at full span (ceil(n/m) blocks — the rank guard zeroes the
+    # overshoot columns), at which point the estimate is exact and the
+    # remainder contributes nothing
+    K = min(K, max(-(-n // m_probe), 1))
     Qacc = jnp.zeros((n, m_probe * K), dtype)
     tr = jnp.asarray(0.0, dtype)
     tr_old = 0.0
@@ -88,6 +102,11 @@ def mc_trace(
     )
     tr_new = tr
     res = jnp.inf
+    hits = 0
+    # a single sub-tol relative change can be a stochastic fluke at tight
+    # tolerances; below 1e-4 require two consecutive hits before accepting
+    # (the reference's single-hit rule is kept at its own tol=1e-3/1e-4)
+    need_hits = 1 if tol >= 1e-4 else 2
     for it in range(K):
         key, sub = jax.random.split(key)
         tr, tr_new, Qacc = it_fn(sub, Qacc, tr, it)
@@ -98,21 +117,25 @@ def mc_trace(
                 f"mc_trace it={it + 1} pts={(it + 1) * 3 * m_probe} "
                 f"tr={tr_new_f:.6e} res={res:.3e}"
             )
-        if res < tol:
+        hits = hits + 1 if res < tol else 0
+        if hits >= need_hits:
             break
         tr_old = tr_new_f
     return float(jnp.real(tr_new)) if is_real else tr_new, res, it + 1
 
 
 def trace_exp(A, tol: float = 1e-4, maxit: int = 1000, key=None,
-              plan: ExpmvPlan | None = None, m_probe: int = 10):
-    """Estimate trace(exp(A)) — reference ``functions/trace_exp.m``:
-    Hutchinson estimator over the ``expmv`` action with tol 1e-4."""
+              plan: ExpmvPlan | None = None, m_probe: int = 10,
+              sigma: float = 0.0):
+    """Estimate trace(exp(A − σI)) — reference ``functions/trace_exp.m``:
+    Hutchinson estimator over the ``expmv`` action with tol 1e-4. σ=0 gives
+    plain trace(exp(A)); σ≈λmax keeps the f32 TPU path finite on hub graphs
+    (shift-invariant ratios like Δtrace/trexp are unchanged)."""
     if plan is None:
         plan = select_taylor_degree(A, t=1.0, b_cols=m_probe)
 
     def op(x):
-        return expmv(A, x, t=1.0, plan=plan)
+        return expmv(A, x, t=1.0, plan=plan, sigma=sigma)
 
     tr, res, it = mc_trace(
         op, A.n, tol=tol, maxit=maxit, is_real=True, m_probe=m_probe,

@@ -1,24 +1,29 @@
-"""Pallas TPU super-row block-sparse SpMM (BSR 128x128, shared x slabs).
+"""Pallas TPU tiled block-sparse SpMM (dense 512x512 super-tiles).
 
-Roofline successor to :mod:`.pallas_bsr`. The flat BSR kernel streams one
-(128, b) x tile per nonzero block; on RCM-ordered road networks consecutive
-row blocks touch nearly identical column windows, so at b=512 the x-tile
-stream (~963 MB for Vermont) dominates the A-block stream (~237 MB) and the
-measured SpMM sits ~9x above its own bytes bound.
+Roofline successor to :mod:`.pallas_bsr`. Probing the flat 128x128 BSR
+kernel on v5e (Vermont, b=512) showed it is NOT HBM-bound: its byte stream
+supports 1.7 ms but it runs at 4.2 ms, and widening/narrowing the per-step
+data movement moves the needle while cutting HBM bytes does not — the cost
+driver is per-grid-step VMEM/VPU work (tile copies, read-modify-write
+accumulation) at ~1 µs/step across ~3,700 steps.
 
-This kernel amortizes x traffic two ways:
+So this kernel minimizes GRID STEPS, not just bytes:
 
-1. **Super-rows.** S=4 consecutive row blocks form a super-row sharing one
-   f32 accumulator scratch (S·128, b) in VMEM. Blocks are sorted by
-   (super, x-slab, row), x is loaded in (G·128, b) slabs (G=4), and the slab
-   BlockSpec index only changes on slab switches — a handful per super-row
-   instead of once per block. y is written once per super-tile (sequential,
-   no output revisiting).
-2. **bf16x2 split (optional).** Unweighted adjacency values (0/±1) are
-   bf16-exact, so A blocks are stored bf16 (half the A stream). x is split
-   x = hi + lo with hi = bf16(x): two native bf16 MXU passes reproduce the
-   f32 product to ~2^-24 relative — versus six passes for
-   ``precision=HIGHEST`` on f32 operands.
+* The (RCM-permuted) matrix is packed into dense (SUP·128)x(SLAB·128)
+  super-tiles — one tile per (super-row, column-slab) pair that contains any
+  nonzero. Road networks after RCM have a narrow band, so a 512-row
+  super-row touches ~2 column slabs: Vermont collapses from ~3,700 blocks to
+  ~400 tiles.
+* One MXU dot per tile, accumulated directly into the resident y tile
+  (blocks sorted by super-row ⇒ y revisits are consecutive; no scratch, no
+  dynamic slices, no per-step VPU copies).
+* Optional bf16 split (mode='bf16xN'): adjacency values (0/±1) are
+  bf16-exact, so A tiles store as bf16 (half the A stream) and x is split
+  into N bf16 terms concatenated along the batch axis — one widened MXU pass
+  replaces the 6 passes of ``precision=HIGHEST``. The split uses
+  ``lax.reduce_precision`` (NOT an astype round-trip, which XLA's
+  excess-precision simplifier elides on TPU, silently collapsing hi+lo
+  back to plain bf16).
 
 Replaces MATLAB's built-in sparse ``A*w`` (``lanczos_krylov.m:81``) on the
 TPU hot path (greedy candidate scoring at batch 2·Q, ``krylov_miobi.m:76-125``).
@@ -35,79 +40,68 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128
-SUP = 4  # row blocks per super-row
-SLAB = 4  # column blocks per x slab
+SUP = 4  # 128-row blocks per super-row (tile height 512)
+SLAB = 4  # 128-col blocks per x slab (tile width 512)
+TILE_R = SUP * BLK
+TILE_C = SLAB * BLK
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel_f32(slab_ref, sup_ref, rowoff_ref, cboff_ref, start_ref, end_ref,
-                ablk_ref, x_ref, y_ref, acc_ref, *, precision):
+def _kernel_f32(slab_ref, sup_ref, start_ref, atile_ref, x_ref, y_ref, *,
+                precision):
     t = pl.program_id(0)
+    p = jnp.dot(atile_ref[0], x_ref[:], preferred_element_type=y_ref.dtype,
+                precision=precision)
 
     @pl.when(start_ref[t] == 1)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        y_ref[:] = p
 
-    xs = x_ref[pl.ds(cboff_ref[t] * BLK, BLK), :]
-    ro = rowoff_ref[t] * BLK
-    acc_ref[pl.ds(ro, BLK), :] += jnp.dot(
-        ablk_ref[0], xs, preferred_element_type=acc_ref.dtype,
-        precision=precision,
-    )
-
-    @pl.when(end_ref[t] == 1)
+    @pl.when(start_ref[t] == 0)
     def _():
-        y_ref[:] = acc_ref[:]
+        y_ref[:] += p
 
 
-def _kernel_bf16(slab_ref, sup_ref, rowoff_ref, cboff_ref, start_ref,
-                 end_ref, ablk_ref, xcat_ref, y_ref, acc_ref, *, terms, b):
+def _kernel_bf16(slab_ref, sup_ref, start_ref, atile_ref, xcat_ref, y_ref, *,
+                 terms, b):
     t = pl.program_id(0)
-
-    @pl.when(start_ref[t] == 1)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    co = cboff_ref[t] * BLK
-    # one MXU pass over the concatenated split terms [hi | lo | ...] of
-    # width terms·b, then fold the term slices into the f32 accumulator
-    p = jnp.dot(ablk_ref[0], xcat_ref[pl.ds(co, BLK), :],
-                preferred_element_type=jnp.float32)
+    # one widened MXU pass over the concatenated split terms [hi | lo | ...],
+    # folded term-wise into the f32 product (all slices static)
+    p = jnp.dot(atile_ref[0], xcat_ref[:], preferred_element_type=jnp.float32)
     s = p[:, :b]
     for k in range(1, terms):
         s = s + p[:, k * b:(k + 1) * b]
-    acc_ref[pl.ds(rowoff_ref[t] * BLK, BLK), :] += s
 
-    @pl.when(end_ref[t] == 1)
+    @pl.when(start_ref[t] == 1)
     def _():
-        y_ref[:] = acc_ref[:]
+        y_ref[:] = s
+
+    @pl.when(start_ref[t] == 0)
+    def _():
+        y_ref[:] += s
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "precision",
                                              "n_pad_y"))
-def _super_spmm_f32(meta, ablocks, x_pad, n_pad_y: int,
-                    interpret: bool = False,
-                    precision=jax.lax.Precision.HIGHEST):
-    slab, sup, rowoff, cboff, start, end = meta
-    nblk = ablocks.shape[0]
+def _tile_spmm_f32(meta, atiles, x_pad, n_pad_y: int, interpret: bool = False,
+                   precision=jax.lax.Precision.HIGHEST):
+    slab, sup, start = meta
+    ntile = atiles.shape[0]
     b = x_pad.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(nblk,),
+        num_scalar_prefetch=3,
+        grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((1, BLK, BLK), lambda t, s, u, r, c, st, en: (t, 0, 0),
+            pl.BlockSpec((1, TILE_R, TILE_C), lambda t, s, u, st: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SLAB * BLK, b),
-                         lambda t, s, u, r, c, st, en: (s[t], 0),
+            pl.BlockSpec((TILE_C, b), lambda t, s, u, st: (s[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUP * BLK, b),
-                               lambda t, s, u, r, c, st, en: (u[t], 0),
+        out_specs=pl.BlockSpec((TILE_R, b), lambda t, s, u, st: (u[t], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((SUP * BLK, b), x_pad.dtype)],
     )
     return pl.pallas_call(
         functools.partial(_kernel_f32, precision=precision),
@@ -116,36 +110,44 @@ def _super_spmm_f32(meta, ablocks, x_pad, n_pad_y: int,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(slab, sup, rowoff, cboff, start, end, ablocks, x_pad)
+    )(slab, sup, start, atiles, x_pad)
+
+
+def bf16_split(x: jax.Array, terms: int) -> jax.Array:
+    """x (f32) → [hi | lo | ...] bf16 concatenated along axis 1.
+
+    ``lax.reduce_precision`` forces the rounding to happen: a plain
+    ``astype(bf16).astype(f32)`` round-trip is elided by XLA's
+    excess-precision simplifier on TPU, which would silently zero every
+    term after the first (measured: 2.35e-3 error, i.e. plain bf16).
+    """
+    parts = []
+    r = x
+    for _ in range(terms):
+        h = jax.lax.reduce_precision(r, exponent_bits=8, mantissa_bits=7)
+        parts.append(h.astype(jnp.bfloat16))
+        r = r - h
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "n_pad_y", "terms"))
-def _super_spmm_bf16(meta, ablocks, x_pad, n_pad_y: int, terms: int = 2,
-                     interpret: bool = False):
-    slab, sup, rowoff, cboff, start, end = meta
-    nblk = ablocks.shape[0]
+def _tile_spmm_bf16(meta, atiles, x_pad, n_pad_y: int, terms: int = 3,
+                    interpret: bool = False):
+    slab, sup, start = meta
+    ntile = atiles.shape[0]
     b = x_pad.shape[1]
-    parts = []
-    r = x_pad
-    for _ in range(terms):
-        h = r.astype(jnp.bfloat16)
-        parts.append(h)
-        r = r - h.astype(jnp.float32)
-    xcat = jnp.concatenate(parts, axis=1)
+    xcat = bf16_split(x_pad, terms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(nblk,),
+        num_scalar_prefetch=3,
+        grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((1, BLK, BLK), lambda t, s, u, r, c, st, en: (t, 0, 0),
+            pl.BlockSpec((1, TILE_R, TILE_C), lambda t, s, u, st: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SLAB * BLK, terms * b),
-                         lambda t, s, u, r, c, st, en: (s[t], 0),
+            pl.BlockSpec((TILE_C, terms * b), lambda t, s, u, st: (s[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUP * BLK, b),
-                               lambda t, s, u, r, c, st, en: (u[t], 0),
+        out_specs=pl.BlockSpec((TILE_R, b), lambda t, s, u, st: (u[t], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((SUP * BLK, b), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_kernel_bf16, terms=terms, b=b),
@@ -154,70 +156,73 @@ def _super_spmm_bf16(meta, ablocks, x_pad, n_pad_y: int, terms: int = 2,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(slab, sup, rowoff, cboff, start, end, ablocks, xcat)
+    )(slab, sup, start, atiles, xcat)
 
 
 def pack_bsr_super(A_scipy):
-    """Pack a (RCM-permuted) scipy matrix into super-row-sorted dense
-    128x128 blocks.
+    """Pack a (RCM-permuted) scipy matrix into super-tiles.
 
-    Returns (ablocks (nblk,128,128) f64, meta, entry_block, entry_offset)
-    where meta = (slab, sup, rowoff, cboff, start, end) int32 prefetch
-    arrays and the entry arrays map CSR-order nnz index -> (block id, flat
-    offset) for frozen-structure value updates. Every row block gets at
-    least one (zero diagonal) block so every super-tile is written.
+    Returns (atiles (ntile, 512, 512) f64, meta, entry_tile, entry_offset,
+    n_pad) where meta = (slab, sup, start) int32 prefetch arrays sorted by
+    (super, slab), and the entry arrays map CSR-order nnz index →
+    (tile id, flat offset) for frozen-structure value updates. Every
+    super-row gets at least one (possibly all-zero diagonal) tile so every
+    y tile is written.
     """
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A_scipy)
     A.sort_indices()
     n = A.shape[0]
-    lcm = SUP * BLK if SUP == SLAB else np.lcm(SUP, SLAB) * BLK
-    n_pad = _round_up(max(n, lcm), lcm)
-    nrb = n_pad // BLK
+    n_pad = _round_up(max(n, TILE_R), TILE_R if TILE_R == TILE_C
+                      else np.lcm(TILE_R, TILE_C))
+    nslab = n_pad // TILE_C
     coo = A.tocoo()
-    rb_e = (coo.row // BLK).astype(np.int64)
-    cb_e = (coo.col // BLK).astype(np.int64)
-    key = rb_e * nrb + cb_e
+    sup_e = (coo.row // TILE_R).astype(np.int64)
+    slab_e = (coo.col // TILE_C).astype(np.int64)
+    key = sup_e * nslab + slab_e
     uniq = np.unique(key)
-    have_rb = np.unique(uniq // nrb)
-    missing = np.setdiff1d(np.arange(nrb), have_rb)
+    # every super-row needs ≥1 tile so its y tile is initialized
+    have = np.unique(uniq // nslab)
+    nsup = n_pad // TILE_R
+    missing = np.setdiff1d(np.arange(nsup), have)
     if len(missing):
-        extra = missing.astype(np.int64) * nrb + missing
+        extra = missing.astype(np.int64) * nslab + np.minimum(missing,
+                                                              nslab - 1)
         uniq = np.unique(np.concatenate([uniq, extra]))
-    rb = (uniq // nrb).astype(np.int64)
-    cb = (uniq % nrb).astype(np.int64)
-    # sort blocks by (super, x slab, row, col) so the x slab index changes
-    # as rarely as possible inside each super-row
-    sup = rb // SUP
-    slab = cb // SLAB
-    order = np.lexsort((cb, rb, slab, sup))
-    rb, cb, sup, slab, uniq = rb[order], cb[order], sup[order], slab[order], uniq[order]
-    nblk = len(uniq)
-    start = np.zeros(nblk, dtype=np.int32)
+    ntile = len(uniq)
+    sup = (uniq // nslab).astype(np.int32)
+    slab = (uniq % nslab).astype(np.int32)
+    start = np.zeros(ntile, dtype=np.int32)
     start[np.unique(sup, return_index=True)[1]] = 1
-    # last block of each super-row = position right before the next start
-    end = np.roll(start, -1).astype(np.int32)
-    end[-1] = 1
-    meta = (
-        slab.astype(np.int32),
-        sup.astype(np.int32),
-        (rb % SUP).astype(np.int32),
-        (cb % SLAB).astype(np.int32),
-        start,
-        end,
-    )
-    # scatter values: map each nnz to its (sorted) block position
-    blk_pos = {int(k): t for t, k in enumerate(uniq.tolist())}
-    key_pos = np.fromiter((blk_pos[int(k)] for k in key), dtype=np.int64,
-                          count=len(key))
-    ablocks = np.zeros((nblk, BLK, BLK), dtype=np.float64)
-    ri = coo.row % BLK
-    ci = coo.col % BLK
-    ablocks[key_pos, ri, ci] = coo.data
-    entry_block = key_pos
-    entry_offset = (ri * BLK + ci).astype(np.int64)
-    return ablocks, meta, entry_block, entry_offset, n_pad
+    meta = (slab, sup, start)
+    key_pos = np.searchsorted(uniq, key)
+    atiles = np.zeros((ntile, TILE_R, TILE_C), dtype=np.float64)
+    ri = coo.row % TILE_R
+    ci = coo.col % TILE_C
+    atiles[key_pos, ri, ci] = coo.data
+    entry_tile = key_pos.astype(np.int64)
+    entry_offset = (ri.astype(np.int64) * TILE_C + ci).astype(np.int64)
+    return atiles, meta, entry_tile, entry_offset, n_pad
+
+
+def super_tile_count(A_scipy, perm: np.ndarray | None = None) -> int:
+    """Number of super-tiles (incl. per-super fill-ins) under ``perm``."""
+    import scipy.sparse as sp
+
+    C = sp.coo_matrix(A_scipy)
+    row, col = C.row, C.col
+    if perm is not None:
+        pinv = np.empty_like(perm)
+        pinv[perm] = np.arange(len(perm))
+        row, col = pinv[row], pinv[col]
+    n_pad = _round_up(max(A_scipy.shape[0], TILE_R), TILE_R)
+    nslab = n_pad // TILE_C
+    key = (row // TILE_R).astype(np.int64) * nslab + col // TILE_C
+    uniq = np.unique(key)
+    nsup_missing = len(np.setdiff1d(np.arange(n_pad // TILE_R),
+                                    np.unique(uniq // nslab)))
+    return len(uniq) + nsup_missing
 
 
 class _HostMeta:
@@ -235,7 +240,7 @@ class _HostMeta:
 
 @jax.tree_util.register_pytree_node_class
 class SuperBsrOperator:
-    """Super-row block-sparse MXU SpMM operator (fixed sparsity structure).
+    """Super-tile block-sparse MXU SpMM operator (fixed sparsity structure).
 
     Drop-in for :class:`.pallas_bsr.BsrOperator`: ``__matmul__`` on (n, b)
     blocks, ``update_entry_values``/``set_edge`` frozen-structure edits,
@@ -249,7 +254,7 @@ class SuperBsrOperator:
     """
 
     def tree_flatten(self):
-        return (self.ablocks, self.meta), (
+        return (self.atiles, self.meta), (
             self.n, self.nnz, self.dtype, self.interpret, self.n_pad,
             self._hm, self.precision, self.mode,
         )
@@ -257,10 +262,10 @@ class SuperBsrOperator:
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        (obj.ablocks, obj.meta) = children
+        (obj.atiles, obj.meta) = children
         (obj.n, obj.nnz, obj.dtype, obj.interpret, obj.n_pad,
          obj._hm, obj.precision, obj.mode) = aux
-        obj._entry_block = obj._hm.entry_block
+        obj._entry_tile = obj._hm.entry_tile
         obj._entry_offset = obj._hm.entry_offset
         obj._entry_rc = obj._hm.entry_rc
         return obj
@@ -275,24 +280,24 @@ class SuperBsrOperator:
         self.dtype = dtype
         self.interpret = interpret
         self.precision = precision
-        ablocks, meta, eb, eo, n_pad = pack_bsr_super(A)
+        atiles, meta, et, eo, n_pad = pack_bsr_super(A)
         self.n_pad = n_pad
         if mode == "auto":
             bf16_exact = bool(
-                np.all(ablocks.astype(jnp.bfloat16).astype(np.float64)
-                       == ablocks)
+                np.all(atiles.astype(jnp.bfloat16).astype(np.float64)
+                       == atiles)
             )
             mode = "bf16x3" if (bf16_exact and dtype == jnp.float32) else "f32"
         self.mode = mode
         store = jnp.bfloat16 if mode.startswith("bf16x") else dtype
-        self.ablocks = jnp.asarray(ablocks, dtype=store)
+        self.atiles = jnp.asarray(atiles, dtype=store)
         self.meta = tuple(jnp.asarray(m) for m in meta)
-        self._entry_block = eb
+        self._entry_tile = et
         self._entry_offset = eo
         A.sort_indices()
         coo = A.tocoo()
         self._entry_rc = (coo.row.astype(np.int64), coo.col.astype(np.int64))
-        self._hm = _HostMeta(entry_block=eb, entry_offset=eo,
+        self._hm = _HostMeta(entry_tile=et, entry_offset=eo,
                              entry_rc=self._entry_rc)
 
     @property
@@ -300,21 +305,22 @@ class SuperBsrOperator:
         return (self.n, self.n)
 
     @property
-    def nblocks(self) -> int:
-        return int(self.ablocks.shape[0])
+    def ntiles(self) -> int:
+        return int(self.atiles.shape[0])
 
     def storage_bytes(self) -> int:
-        return self.nblocks * BLK * BLK * jnp.dtype(self.ablocks.dtype).itemsize
+        return self.ntiles * TILE_R * TILE_C * jnp.dtype(self.atiles.dtype).itemsize
 
     # -- frozen-structure value edits ---------------------------------------
     def update_entry_values(self, entry_indices: np.ndarray, values) -> None:
-        blk = self._entry_block[entry_indices]
+        """Set values of specific nnz entries (CSR order) on device."""
+        til = self._entry_tile[entry_indices]
         off = self._entry_offset[entry_indices]
-        flat = self.ablocks.reshape(self.ablocks.shape[0], BLK * BLK)
-        flat = flat.at[jnp.asarray(blk), jnp.asarray(off)].set(
-            jnp.asarray(values, dtype=self.ablocks.dtype)
+        flat = self.atiles.reshape(self.atiles.shape[0], TILE_R * TILE_C)
+        flat = flat.at[jnp.asarray(til), jnp.asarray(off)].set(
+            jnp.asarray(values, dtype=self.atiles.dtype)
         )
-        self.ablocks = flat.reshape(self.ablocks.shape)
+        self.atiles = flat.reshape(self.atiles.shape)
 
     def entry_index(self, i: int, j: int) -> int:
         if not hasattr(self, "_entry_lookup"):
@@ -332,9 +338,10 @@ class SuperBsrOperator:
         self.update_entry_values(np.asarray(idx), np.full(len(idx), value))
 
     def entry_values(self) -> np.ndarray:
-        flat = self.ablocks.reshape(self.ablocks.shape[0], BLK * BLK)
+        """Current values of all nnz entries in CSR order (device read)."""
+        flat = self.atiles.reshape(self.atiles.shape[0], TILE_R * TILE_C)
         return np.asarray(
-            flat[jnp.asarray(self._entry_block),
+            flat[jnp.asarray(self._entry_tile),
                  jnp.asarray(self._entry_offset)].astype(jnp.float32)
         )
 
@@ -344,20 +351,18 @@ class SuperBsrOperator:
         if squeeze:
             x = x[:, None]
         n, b = x.shape
-        b_pad = _round_up(b, 8)
+        b_pad = _round_up(b, BLK)
         compute = jnp.float32 if self.mode.startswith("bf16x") else self.dtype
         x_pad = jnp.zeros((self.n_pad, b_pad), compute)
         x_pad = x_pad.at[:n, :b].set(x.astype(compute))
         if self.mode.startswith("bf16x"):
-            y = _super_spmm_bf16(self.meta, self.ablocks, x_pad,
-                                 n_pad_y=self.n_pad,
-                                 terms=int(self.mode[-1]),
-                                 interpret=self.interpret)
+            y = _tile_spmm_bf16(self.meta, self.atiles, x_pad,
+                                n_pad_y=self.n_pad, terms=int(self.mode[-1]),
+                                interpret=self.interpret)
         else:
-            y = _super_spmm_f32(self.meta, self.ablocks, x_pad,
-                                n_pad_y=self.n_pad,
-                                interpret=self.interpret,
-                                precision=self.precision)
+            y = _tile_spmm_f32(self.meta, self.atiles, x_pad,
+                               n_pad_y=self.n_pad, interpret=self.interpret,
+                               precision=self.precision)
         y = y[:n, :b].astype(x.dtype)
         return y[:, 0] if squeeze else y
 

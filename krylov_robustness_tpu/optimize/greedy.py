@@ -184,6 +184,7 @@ def krylov_miobi(
     fun="exp",
     dtype=jnp.float64,
     batch_size: int | None = None,
+    shift: float = 0.0,
 ) -> GreedyResult:
     """Greedy selection of k edges from candidate set E scored by batched
     Krylov trace updates (``functions/krylov_miobi.m``).
@@ -218,7 +219,7 @@ def krylov_miobi(
         t_step = time.perf_counter()
         res = trace_fun_update_edges(
             F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
-            rescale=rescale, schedule=schedule,
+            rescale=rescale, schedule=schedule, shift=shift,
         )
         scores = np.asarray(res.delta).copy()
         if not _guard_scores(scores[alive], len(chosen)):
@@ -258,6 +259,7 @@ def greedy_krylov(
     checkpoint=None,
     dataset: str = "",
     backend: str = "auto",
+    shift: float = 0.0,
 ) -> GreedyResult:
     """Adaptive-search-space greedy (``functions/greedy_krylov.m``): select the
     top Q+k candidates by centrality once, then per budget step re-score the
@@ -356,7 +358,7 @@ def greedy_krylov(
         E = top[:Q]
         res = trace_fun_update_edges(
             F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
-            rescale=rescale, schedule=schedule,
+            rescale=rescale, schedule=schedule, shift=shift,
         )
         scores = np.asarray(res.delta).copy()
         if not _guard_scores(scores, step, dataset):

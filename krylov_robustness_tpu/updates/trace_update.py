@@ -78,7 +78,7 @@ def edge_B(edges: jax.Array, sign: float, rescale: float, dtype) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("m_total", "bs", "fun_name"))
 def _delta_trace_at(blocks_h, blocks_beta, Cm, m_total: int, bs: int,
-                    fun_name: str):
+                    fun_name: str, shift=0.0):
     """Δtrace from the first ``m_total`` recurrence steps (batched eigh)."""
     blocks = LanczosBlocks(
         h=blocks_h[:m_total], beta=blocks_beta[:m_total],
@@ -90,15 +90,15 @@ def _delta_trace_at(blocks_h, blocks_beta, Cm, m_total: int, bs: int,
     tG = G.at[:, :k, :k].add((Cm + jnp.swapaxes(Cm, -1, -2)) / 2)
     d1 = jnp.linalg.eigvalsh(tG)
     d2 = jnp.linalg.eigvalsh(G)
-    return trace_fun_difference_eigs(d1, d2, fun_name)
+    return trace_fun_difference_eigs(d1, d2, fun_name, shift=shift)
 
 
 @partial(
     jax.jit,
     static_argnames=("rounds", "m_prev", "bs", "fun_name", "lag"),
 )
-def _phase(A, state: LanczosState, h_prev, beta_prev, Cm, tol,
-           delta, iters, converged,
+def _phase(A, state: LanczosState, h_prev, beta_prev, Cm, tol, shift,
+           delta, iters, converged, best_err,
            rounds: tuple, m_prev: int, bs: int, fun_name: str, lag: int):
     """One jitted phase: several checkpoint rounds traced straight-line.
 
@@ -115,19 +115,27 @@ def _phase(A, state: LanczosState, h_prev, beta_prev, Cm, tol,
         m_done += steps
         H = jnp.concatenate(h_all, axis=0) if len(h_all) > 1 else h_all[0]
         Bt = jnp.concatenate(beta_all, axis=0) if len(beta_all) > 1 else beta_all[0]
-        x_lag = _delta_trace_at(H, Bt, Cm, m_done - lag, bs, fun_name)
-        x_now = _delta_trace_at(H, Bt, Cm, m_done, bs, fun_name)
+        x_lag = _delta_trace_at(H, Bt, Cm, m_done - lag, bs, fun_name,
+                                shift=shift)
+        x_now = _delta_trace_at(H, Bt, Cm, m_done, bs, fun_name,
+                                shift=shift)
         err = jnp.abs(x_now - x_lag)
         dead = jnp.logical_not(state.alive)
         newly = jnp.logical_and(
             jnp.logical_not(converged), jnp.logical_or(err < tol, dead)
         )
-        delta = jnp.where(converged, delta, x_now)
-        iters = jnp.where(converged, iters, m_done)
+        # best-iterate tracking (see _trace_update_host_eigh): only accept
+        # x_now while the lag error is still shrinking — Lanczos-ghost drift
+        # in low precision makes later iterates worse, not better
+        improved = jnp.logical_and(jnp.logical_not(converged),
+                                   jnp.logical_or(err <= best_err, newly))
+        delta = jnp.where(improved, x_now, delta)
+        iters = jnp.where(improved, m_done, iters)
+        best_err = jnp.where(improved, err, best_err)
         converged = jnp.logical_or(converged, newly)
     H = jnp.concatenate(h_all, axis=0) if len(h_all) > 1 else h_all[0]
     Bt = jnp.concatenate(beta_all, axis=0) if len(beta_all) > 1 else beta_all[0]
-    return state, H, Bt, delta, iters, converged
+    return state, H, Bt, delta, iters, converged, best_err
 
 
 @dataclasses.dataclass
@@ -138,7 +146,7 @@ class TraceUpdateResult:
 
 
 def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
-                      fun_name: str):
+                      fun_name: str, shift: float = 0.0):
     """Host (numpy/LAPACK) version of :func:`_delta_trace_at`.
 
     The projected matrices are tiny ((2m)² per candidate) — on TPU sessions
@@ -165,11 +173,13 @@ def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
     import jax.numpy as _jnp
 
     return np.asarray(
-        trace_fun_difference_eigs(_jnp.asarray(d1), _jnp.asarray(d2), fun_name)
+        trace_fun_difference_eigs(_jnp.asarray(d1), _jnp.asarray(d2), fun_name,
+                                  shift=shift)
     )
 
 
-def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
+def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
+                            shift: float = 0.0):
     """TPU-session variant: device runs jitted Lanczos extension rounds
     (scan of SpMM + MGS only — small, fast-compiling programs), host does
     the per-round projected eigendecompositions and the lag-d convergence
@@ -183,6 +193,12 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
     delta = np.zeros((batch,), np.float64)
     iters = np.zeros((batch,), np.int32)
     converged = np.zeros((batch,), bool)
+    # In f32 the 3-term recurrence loses orthogonality once a Ritz pair
+    # converges (classic Lanczos ghosts): the lag error REACHES a floor and
+    # then drifts back up, so the last iterate can be worse than an earlier
+    # one. Keep the minimum-lag-error iterate per candidate and return it
+    # when the tolerance is never met.
+    best_err = np.full((batch,), np.inf)
     h_np = np.zeros((0, batch, 2 * bs, bs), np.float64)
     beta_np = np.zeros((0, batch, bs, bs), np.float64)
     m_done = 0
@@ -198,10 +214,12 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
         if len(act) == 0:
             break
         x_lag = _host_delta_trace(
-            h_np[:, act], beta_np[:, act], Cm[act], m_done - lag, bs, fun.name
+            h_np[:, act], beta_np[:, act], Cm[act], m_done - lag, bs, fun.name,
+            shift=shift,
         )
         x_now = _host_delta_trace(
-            h_np[:, act], beta_np[:, act], Cm[act], m_done, bs, fun.name
+            h_np[:, act], beta_np[:, act], Cm[act], m_done, bs, fun.name,
+            shift=shift,
         )
         err = np.abs(x_now - x_lag)
         dead = ~np.asarray(state.alive)[act]
@@ -211,8 +229,11 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag):
         eps_m = np.finfo(np.dtype(dtype)).eps
         tol_eff = np.maximum(tol, 32.0 * eps_m * np.abs(x_now))
         newly = (err < tol_eff) | dead
-        delta[act] = x_now
-        iters[act] = m_done
+        improved = err <= best_err[act]
+        upd = act[improved | newly]
+        delta[upd] = x_now[improved | newly]
+        iters[upd] = m_done
+        best_err[act] = np.minimum(best_err[act], err)
         converged[act] = newly
         if converged.all():
             break
@@ -233,6 +254,7 @@ def trace_fun_update_batched(
     lag: int = 2,
     phases: Sequence[int] = DEFAULT_PHASES,
     host_eigh: bool | None = None,
+    shift: float = 0.0,
 ) -> TraceUpdateResult:
     """Batched trace(f(A + U B Uᵀ) − f(A)).
 
@@ -262,7 +284,8 @@ def trace_fun_update_batched(
         At = Ad[None] + jnp.einsum("bnk,bkl,bml->bnm", U0, B, U0)
         At = (At + jnp.swapaxes(At, -1, -2)) / 2
         d1 = jnp.sort(jnp.linalg.eigvalsh(At))
-        delta = trace_fun_difference_eigs(d1, d2[None], fun.name)
+        delta = trace_fun_difference_eigs(d1, d2[None], fun.name,
+                                          shift=shift)
         return TraceUpdateResult(
             delta=delta,
             iters=jnp.zeros((batch,), jnp.int32),
@@ -270,7 +293,8 @@ def trace_fun_update_batched(
         )
 
     if host_eigh:
-        return _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag)
+        return _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
+                                       shift=shift)
 
     state, R0 = lanczos_start(A, U0)
     Cm = jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0)
@@ -290,13 +314,15 @@ def trace_fun_update_batched(
     delta = jnp.zeros((batch,), dtype)
     iters = jnp.zeros((batch,), jnp.int32)
     converged = jnp.zeros((batch,), bool)
+    best_err = jnp.full((batch,), jnp.inf, dtype)
     h = jnp.zeros((0, batch, 2 * bs, bs), dtype)
     beta = jnp.zeros((0, batch, bs, bs), dtype)
     m_prev = 0
     tol_arr = jnp.asarray(tol, dtype)
     for rounds in phase_rounds:
-        state, h, beta, delta, iters, converged = _phase(
-            A, state, h, beta, Cm, tol_arr, delta, iters, converged,
+        state, h, beta, delta, iters, converged, best_err = _phase(
+            A, state, h, beta, Cm, tol_arr, jnp.asarray(shift, dtype),
+            delta, iters, converged, best_err,
             rounds=rounds, m_prev=m_prev, bs=bs, fun_name=fun.name, lag=lag,
         )
         m_prev += sum(rounds)
@@ -315,6 +341,7 @@ def trace_fun_update_edges(
     rescale: float = 1.0,
     schedule: Sequence[int] = DEFAULT_SCHEDULE,
     phases: Sequence[int] = DEFAULT_PHASES,
+    shift: float = 0.0,
 ) -> TraceUpdateResult:
     """Score all candidate edges at once: Δtrace for removing (sign=-1) or
     adding (sign=+1) each edge independently. The device-batched replacement
@@ -323,7 +350,8 @@ def trace_fun_update_edges(
     U0 = edge_start_blocks(A.n, edges, A.dtype)
     B = edge_B(edges, sign, rescale, A.dtype)
     return trace_fun_update_batched(
-        A, U0, B, fun=fun, tol=tol, schedule=schedule, phases=phases
+        A, U0, B, fun=fun, tol=tol, schedule=schedule, phases=phases,
+        shift=shift,
     )
 
 

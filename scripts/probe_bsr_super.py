@@ -37,7 +37,7 @@ def main():
     from krylov_robustness_tpu.graphs.preprocess import preprocess_unweighted
     from krylov_robustness_tpu.ops.pallas_bsr import BsrOperator
     from krylov_robustness_tpu.ops.pallas_bsr_super import (
-        BLK, SLAB, SUP, SuperBsrOperator,
+        BLK, TILE_C, TILE_R, SuperBsrOperator,
     )
     from krylov_robustness_tpu.ops.pallas_spmm import rcm_permutation
 
@@ -53,25 +53,29 @@ def main():
     print(f"{args.dataset}: n={n} nnz={nnz} b={b} backend={jax.default_backend()}",
           flush=True)
 
+    iters = args.iters
+
+    # op rides as a pytree ARGUMENT: closing over it would embed the tile
+    # array as an HLO constant and blow the remote compile server's request
+    # size limit (HTTP 413) at Vermont scale.
+    @jax.jit
+    def chain(op, x):
+        def body(x, _):
+            return (op @ x)[: x.shape[0]] * 1e-3, ()
+
+        return jax.lax.scan(body, x, None, length=iters)[0]
+
     def timed(op, tag):
         xp = jnp.zeros((op.n_pad, b), jnp.float32).at[:n].set(jnp.asarray(x0))
-
-        @jax.jit
-        def chain(x):
-            def body(x, _):
-                return (op @ x)[: op.n_pad] * 1e-3, ()
-
-            return jax.lax.scan(body, x, None, length=args.iters)[0]
-
         # accuracy: single application
         y1 = np.asarray(op @ jnp.asarray(x0))
         acc = np.abs(y1 - ref).max() / refmax
-        y = chain(xp)
+        y = chain(op, xp)
         y.block_until_ready()
         t0 = time.time()
-        y = chain(xp)
+        y = chain(op, xp)
         y.block_until_ready()
-        dt = (time.time() - t0) / args.iters
+        dt = (time.time() - t0) / iters
         return dt, acc
 
     results = {}
@@ -91,11 +95,12 @@ def main():
         itemsize = 2 if mode.startswith("bf16x") else 4
         terms = int(mode[-1]) if mode.startswith("bf16x") else 1
         xw = 2 * terms if mode.startswith("bf16x") else 4
-        a_bytes = op.nblocks * BLK * BLK * itemsize
-        x_bytes = switches * SLAB * BLK * b * xw
+        a_bytes = op.ntiles * TILE_R * TILE_C * itemsize
+        x_bytes = switches * TILE_C * b * xw
         y_bytes = op.n_pad * b * 4
         dt, acc = timed(op, f"super-{mode}")
-        results[f"super_{mode}"] = (dt, acc, a_bytes + x_bytes + y_bytes)
+        results[f"super_{mode}_t{op.ntiles}"] = (dt, acc,
+                                                 a_bytes + x_bytes + y_bytes)
 
     print(f"{'variant':<20}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>12}"
           f"{'MB/spmm':>10}{'bound ms':>10}{'% of SoL':>9}")

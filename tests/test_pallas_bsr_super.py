@@ -69,20 +69,22 @@ def test_super_bsr_set_edge_symmetric():
 
 
 def test_super_pack_flags_consistent():
+    from krylov_robustness_tpu.ops.pallas_bsr_super import TILE_R
+
     A = banded_graph(n=1200, max_off=90, extra=200)
-    ablocks, meta, eb, eo, n_pad = pack_bsr_super(sp.csr_matrix(A))
-    slab, sup, rowoff, cboff, start, end = meta
-    # supers are contiguous and non-decreasing; start/end bracket each run
+    atiles, meta, et, eo, n_pad = pack_bsr_super(sp.csr_matrix(A))
+    slab, sup, start = meta
+    # supers are contiguous and non-decreasing; one start flag per run
     assert np.all(np.diff(sup) >= 0)
     runs = np.unique(sup)
-    assert start.sum() == len(runs) and end.sum() == len(runs)
+    assert start.sum() == len(runs)
     firsts = np.unique(sup, return_index=True)[1]
     assert np.all(start[firsts] == 1)
-    # every super-tile of the padded range is covered (y fully written)
-    assert set(runs.tolist()) == set(range(n_pad // (4 * 128)))
+    # every super-row of the padded range is covered (y fully written)
+    assert set(runs.tolist()) == set(range(n_pad // TILE_R))
     # values round-trip through the entry mapping
     coo = sp.csr_matrix(A)
     coo.sort_indices()
     coo = coo.tocoo()
-    flat = ablocks.reshape(len(ablocks), -1)
-    np.testing.assert_array_equal(flat[eb, eo], coo.data)
+    flat = atiles.reshape(len(atiles), -1)
+    np.testing.assert_array_equal(flat[et, eo], coo.data)
