@@ -36,12 +36,26 @@ def make_mesh_2d(rows: int, batch: int,
 def maybe_init_distributed() -> None:
     """Initialize multi-host JAX when launched under a pod launcher.
 
-    No-op in single-process environments (tests, single chip).
+    No-op in single-process environments (tests, single chip). On TPU pod
+    launchers (MEGASCALE_*) jax auto-detects everything; on generic
+    launchers jax.distributed.initialize() does NOT read JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID from the environment (verified against the installed
+    jax — it raises 'Number of processes must be defined'), so pass them
+    explicitly.
     """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+    env = os.environ
+    if "MEGASCALE_COORDINATOR_ADDRESS" in env:
         jax.distributed.initialize()
+    elif "JAX_COORDINATOR_ADDRESS" in env:
+        jax.distributed.initialize(
+            coordinator_address=env["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(env["JAX_NUM_PROCESSES"])
+            if "JAX_NUM_PROCESSES" in env else None,
+            process_id=int(env["JAX_PROCESS_ID"])
+            if "JAX_PROCESS_ID" in env else None,
+        )
 
 
 def replicated(mesh: Mesh):
