@@ -1,19 +1,27 @@
 """Benchmark: SpMM throughput (nnz·batch/s per chip) on the largest paper
 transport network at the batch width the greedy scorer actually consumes
-(2·Q ≈ 512 Lanczos columns, ``krylov_miobi.m:76-125`` batched), best Pallas
-kernel (BSR 128x128 MXU; see ops/pallas_bsr.py) vs the XLA COO segment-sum
-SpMM (the reference-style implementation path) on the same graph and chip.
+(2·Q ≈ 512 Lanczos columns, ``krylov_miobi.m:76-125`` batched).
 
-Prints ONE JSON line:
+Two Pallas kernels are timed against the XLA COO segment-sum SpMM (the
+reference-style implementation path) on the same graph and chip:
+the flat BSR 128x128 MXU kernel (ops/pallas_bsr.py) and the super-tile
+kernel with bf16-split MXU passes (ops/pallas_bsr_super.py). The best
+ACCURATE kernel (rel err vs f64 host product < 1e-6) is reported.
+
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value        = Pallas SpMM effective throughput (Gnnz·b/s)
+value        = best Pallas SpMM effective throughput (Gnnz·b/s)
 vs_baseline  = speedup over the XLA COO SpMM.
+
+A roofline accounting table (exact HBM bytes per SpMM vs the v5e HBM bound,
+BASELINE.md "speed-of-light" item) goes to stderr.
 
 Runs on whatever backend jax selects (TPU under the driver; CPU fallback
 works but is slow). Everything is measured inside one jitted scan so remote
 dispatch latency is excluded — matching how the kernels are consumed by the
-Krylov loops.
+Krylov loops. Each phase is wrapped in a jax.profiler trace_annotation span
+(SURVEY.md §5.1).
 """
 
 import json
@@ -21,6 +29,8 @@ import sys
 import time
 
 import numpy as np
+
+HBM_GBPS = 819.0  # v5e
 
 
 def build_graph():
@@ -61,8 +71,11 @@ def main():
     import jax.numpy as jnp
     import scipy.sparse as sp
 
-    from krylov_robustness_tpu.ops.pallas_bsr import _bsr_spmm, make_bsr_operator
+    from krylov_robustness_tpu.ops.pallas_bsr import BsrOperator
+    from krylov_robustness_tpu.ops.pallas_bsr_super import SuperBsrOperator
+    from krylov_robustness_tpu.ops.pallas_spmm import rcm_permutation
     from krylov_robustness_tpu.ops.sparse import CooMatrix
+    from krylov_robustness_tpu.utils.logging import trace_annotation
 
     A, name = build_graph()
     n, nnz = A.shape[0], A.nnz
@@ -72,56 +85,92 @@ def main():
     rng = np.random.default_rng(1)
     on_tpu = jax.default_backend() != "cpu"
 
-    op, perm = make_bsr_operator(A, dtype=jnp.float32)
-    Ap = sp.csr_matrix(A)[perm, :].tocsc()[:, perm].tocsr()
+    with trace_annotation("bench/pack"):
+        perm = rcm_permutation(A)
+        Ap = sp.csr_matrix(A)[perm, :].tocsc()[:, perm].tocsr()
+    x0 = rng.standard_normal((n, b)).astype(np.float32)
+    ref = Ap @ x0.astype(np.float64)
+    refmax = np.abs(ref).max()
 
-    # --- XLA COO baseline (in-jit chain) -----------------------------------
-    coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
-    x0 = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32))
-
+    # op rides as a pytree ARGUMENT: closing over the tile arrays would
+    # embed them as HLO constants and blow the remote compile server's
+    # request-size limit at Vermont scale (HTTP 413).
     @jax.jit
-    def chain_coo(x):
+    def chain(op, x):
         def body(x, _):
-            return (coo @ x) * 1e-3, ()
+            return (op @ x)[: x.shape[0]] * 1e-3, ()
 
         return jax.lax.scan(body, x, None, length=iters)[0]
 
-    y = chain_coo(x0)
-    y.block_until_ready()
-    t0 = time.time()
-    y = chain_coo(x0)
-    y.block_until_ready()
-    t_coo = (time.time() - t0) / iters
+    def timed(op, tag):
+        with trace_annotation(f"bench/{tag}"):
+            xp = jnp.zeros((op.n_pad, b), jnp.float32).at[:n].set(
+                jnp.asarray(x0))
+            acc = float(np.abs(np.asarray(op @ jnp.asarray(x0)) - ref).max()
+                        / refmax)
+            y = chain(op, xp)
+            y.block_until_ready()
+            t0 = time.time()
+            y = chain(op, xp)
+            y.block_until_ready()
+            return (time.time() - t0) / iters, acc
 
-    # --- Pallas BSR MXU kernel ----------------------------------------------
-    if on_tpu and hasattr(op, "ablocks"):
-        xp = jnp.zeros((op.n_pad, b), jnp.float32).at[:n].set(x0)
-
-        @jax.jit
-        def chain_bsr(x):
-            def body(x, _):
-                y = _bsr_spmm(op.cb, op.rb, op.first, op.ablocks, x)
-                return y * 1e-3, ()
-
-            return jax.lax.scan(body, x, None, length=iters)[0]
-
-        y = chain_bsr(xp)
+    # --- XLA COO baseline (in-jit chain) -----------------------------------
+    with trace_annotation("bench/xla-coo"):
+        coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
+        xc = jnp.asarray(x0)
+        y = chain(coo, xc)
         y.block_until_ready()
         t0 = time.time()
-        y = chain_bsr(xp)
+        y = chain(coo, xc)
         y.block_until_ready()
-        t_pallas = (time.time() - t0) / iters
-    else:
-        t_pallas = t_coo  # CPU (or BSR fallback): no Pallas; report parity
+        t_coo = (time.time() - t0) / iters
 
-    value = nnz * b / t_pallas / 1e9
+    rows = [("xla_coo", t_coo, 0.0, None)]
+    t_best = t_coo
+    if on_tpu:
+        variants = [
+            ("flat_f32", lambda: BsrOperator(Ap, dtype=jnp.float32), None),
+            ("super_bf16x3_512x512",
+             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x3",
+                                      tile=(512, 512)), (512, 512)),
+            ("super_bf16x3_512x128",
+             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x3",
+                                      tile=(512, 128)), (512, 128)),
+        ]
+        for tag, make, tile in variants:
+            try:
+                op = make()
+                dt, acc = timed(op, tag)
+            except Exception as e:  # storage/compile limits on odd graphs
+                print(f"bench: {tag} skipped ({e})", file=sys.stderr)
+                continue
+            byt = None
+            if tile is not None:
+                tr, tc = tile
+                slab = np.asarray(op.meta[0])
+                switches = 1 + int(np.sum(slab[1:] != slab[:-1]))
+                byt = (op.ntiles * tr * tc * 2 + switches * tc * b * 6
+                       + op.n_pad * b * 4)
+            rows.append((tag, dt, acc, byt))
+            if acc < 1e-6 and dt < t_best:
+                t_best = dt
+
+    print(f"{'variant':<24}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>11}"
+          f"{'MB':>8}{'SoL ms':>8}", file=sys.stderr)
+    for tag, dt, acc, byt in rows:
+        sol = f"{byt / HBM_GBPS / 1e6:8.3f}" if byt else "       -"
+        print(f"{tag:<24}{dt * 1e3:>9.3f}{nnz * b / dt / 1e9:>10.2f}"
+              f"{acc:>11.2e}{(byt or 0) / 1e6:>8.1f}{sol}", file=sys.stderr)
+
+    value = nnz * b / t_best / 1e9
     print(
         json.dumps(
             {
                 "metric": f"spmm_throughput_{name}_b{b}",
                 "value": round(value, 3),
                 "unit": "Gnnzb/s",
-                "vs_baseline": round(t_coo / t_pallas, 3),
+                "vs_baseline": round(t_coo / t_best, 3),
             }
         )
     )

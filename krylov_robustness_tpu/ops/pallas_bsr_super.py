@@ -40,10 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128
-SUP = 4  # 128-row blocks per super-row (tile height 512)
-SLAB = 4  # 128-col blocks per x slab (tile width 512)
-TILE_R = SUP * BLK
-TILE_C = SLAB * BLK
+SUP = 4  # default 128-row blocks per super-row (tile height 512)
+SLAB = 4  # default 128-col blocks per x slab (tile width 512)
+TILE_R = SUP * BLK  # default tile height (see SuperBsrOperator(tile=...))
+TILE_C = SLAB * BLK  # default tile width
 
 
 def _round_up(x: int, m: int) -> int:
@@ -89,18 +89,18 @@ def _kernel_bf16(slab_ref, sup_ref, start_ref, atile_ref, xcat_ref, y_ref, *,
 def _tile_spmm_f32(meta, atiles, x_pad, n_pad_y: int, interpret: bool = False,
                    precision=jax.lax.Precision.HIGHEST):
     slab, sup, start = meta
-    ntile = atiles.shape[0]
+    ntile, tile_r, tile_c = atiles.shape
     b = x_pad.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda t, s, u, st: (t, 0, 0),
+            pl.BlockSpec((1, tile_r, tile_c), lambda t, s, u, st: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_C, b), lambda t, s, u, st: (s[t], 0),
+            pl.BlockSpec((tile_c, b), lambda t, s, u, st: (s[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, b), lambda t, s, u, st: (u[t], 0),
+        out_specs=pl.BlockSpec((tile_r, b), lambda t, s, u, st: (u[t], 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -134,19 +134,19 @@ def bf16_split(x: jax.Array, terms: int) -> jax.Array:
 def _tile_spmm_bf16(meta, atiles, x_pad, n_pad_y: int, terms: int = 3,
                     interpret: bool = False):
     slab, sup, start = meta
-    ntile = atiles.shape[0]
+    ntile, tile_r, tile_c = atiles.shape
     b = x_pad.shape[1]
     xcat = bf16_split(x_pad, terms)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntile,),
         in_specs=[
-            pl.BlockSpec((1, TILE_R, TILE_C), lambda t, s, u, st: (t, 0, 0),
+            pl.BlockSpec((1, tile_r, tile_c), lambda t, s, u, st: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_C, terms * b), lambda t, s, u, st: (s[t], 0),
+            pl.BlockSpec((tile_c, terms * b), lambda t, s, u, st: (s[t], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, b), lambda t, s, u, st: (u[t], 0),
+        out_specs=pl.BlockSpec((tile_r, b), lambda t, s, u, st: (u[t], 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -159,7 +159,7 @@ def _tile_spmm_bf16(meta, atiles, x_pad, n_pad_y: int, terms: int = 3,
     )(slab, sup, start, atiles, xcat)
 
 
-def pack_bsr_super(A_scipy):
+def pack_bsr_super(A_scipy, tile_r: int = TILE_R, tile_c: int = TILE_C):
     """Pack a (RCM-permuted) scipy matrix into super-tiles.
 
     Returns (atiles (ntile, 512, 512) f64, meta, entry_tile, entry_offset,
@@ -174,17 +174,17 @@ def pack_bsr_super(A_scipy):
     A = sp.csr_matrix(A_scipy)
     A.sort_indices()
     n = A.shape[0]
-    n_pad = _round_up(max(n, TILE_R), TILE_R if TILE_R == TILE_C
-                      else np.lcm(TILE_R, TILE_C))
-    nslab = n_pad // TILE_C
+    n_pad = _round_up(max(n, tile_r), tile_r if tile_r == tile_c
+                      else int(np.lcm(tile_r, tile_c)))
+    nslab = n_pad // tile_c
     coo = A.tocoo()
-    sup_e = (coo.row // TILE_R).astype(np.int64)
-    slab_e = (coo.col // TILE_C).astype(np.int64)
+    sup_e = (coo.row // tile_r).astype(np.int64)
+    slab_e = (coo.col // tile_c).astype(np.int64)
     key = sup_e * nslab + slab_e
     uniq = np.unique(key)
     # every super-row needs ≥1 tile so its y tile is initialized
     have = np.unique(uniq // nslab)
-    nsup = n_pad // TILE_R
+    nsup = n_pad // tile_r
     missing = np.setdiff1d(np.arange(nsup), have)
     if len(missing):
         extra = missing.astype(np.int64) * nslab + np.minimum(missing,
@@ -197,16 +197,17 @@ def pack_bsr_super(A_scipy):
     start[np.unique(sup, return_index=True)[1]] = 1
     meta = (slab, sup, start)
     key_pos = np.searchsorted(uniq, key)
-    atiles = np.zeros((ntile, TILE_R, TILE_C), dtype=np.float64)
-    ri = coo.row % TILE_R
-    ci = coo.col % TILE_C
+    atiles = np.zeros((ntile, tile_r, tile_c), dtype=np.float64)
+    ri = coo.row % tile_r
+    ci = coo.col % tile_c
     atiles[key_pos, ri, ci] = coo.data
     entry_tile = key_pos.astype(np.int64)
-    entry_offset = (ri.astype(np.int64) * TILE_C + ci).astype(np.int64)
+    entry_offset = (ri.astype(np.int64) * tile_c + ci).astype(np.int64)
     return atiles, meta, entry_tile, entry_offset, n_pad
 
 
-def super_tile_count(A_scipy, perm: np.ndarray | None = None) -> int:
+def super_tile_count(A_scipy, perm: np.ndarray | None = None,
+                     tile_r: int = TILE_R, tile_c: int = TILE_C) -> int:
     """Number of super-tiles (incl. per-super fill-ins) under ``perm``."""
     import scipy.sparse as sp
 
@@ -216,11 +217,13 @@ def super_tile_count(A_scipy, perm: np.ndarray | None = None) -> int:
         pinv = np.empty_like(perm)
         pinv[perm] = np.arange(len(perm))
         row, col = pinv[row], pinv[col]
-    n_pad = _round_up(max(A_scipy.shape[0], TILE_R), TILE_R)
-    nslab = n_pad // TILE_C
-    key = (row // TILE_R).astype(np.int64) * nslab + col // TILE_C
+    n_pad = _round_up(max(A_scipy.shape[0], tile_r),
+                      tile_r if tile_r == tile_c
+                      else int(np.lcm(tile_r, tile_c)))
+    nslab = n_pad // tile_c
+    key = (row // tile_r).astype(np.int64) * nslab + col // tile_c
     uniq = np.unique(key)
-    nsup_missing = len(np.setdiff1d(np.arange(n_pad // TILE_R),
+    nsup_missing = len(np.setdiff1d(np.arange(n_pad // tile_r),
                                     np.unique(uniq // nslab)))
     return len(uniq) + nsup_missing
 
@@ -271,7 +274,8 @@ class SuperBsrOperator:
         return obj
 
     def __init__(self, A_scipy, dtype=jnp.float32, interpret: bool = False,
-                 precision=jax.lax.Precision.HIGHEST, mode: str = "auto"):
+                 precision=jax.lax.Precision.HIGHEST, mode: str = "auto",
+                 tile: tuple[int, int] = (TILE_R, TILE_C)):
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A_scipy)
@@ -280,7 +284,7 @@ class SuperBsrOperator:
         self.dtype = dtype
         self.interpret = interpret
         self.precision = precision
-        atiles, meta, et, eo, n_pad = pack_bsr_super(A)
+        atiles, meta, et, eo, n_pad = pack_bsr_super(A, tile[0], tile[1])
         self.n_pad = n_pad
         if mode == "auto":
             bf16_exact = bool(
@@ -309,14 +313,14 @@ class SuperBsrOperator:
         return int(self.atiles.shape[0])
 
     def storage_bytes(self) -> int:
-        return self.ntiles * TILE_R * TILE_C * jnp.dtype(self.atiles.dtype).itemsize
+        return int(np.prod(self.atiles.shape)) * jnp.dtype(self.atiles.dtype).itemsize
 
     # -- frozen-structure value edits ---------------------------------------
     def update_entry_values(self, entry_indices: np.ndarray, values) -> None:
         """Set values of specific nnz entries (CSR order) on device."""
         til = self._entry_tile[entry_indices]
         off = self._entry_offset[entry_indices]
-        flat = self.atiles.reshape(self.atiles.shape[0], TILE_R * TILE_C)
+        flat = self.atiles.reshape(self.atiles.shape[0], -1)
         flat = flat.at[jnp.asarray(til), jnp.asarray(off)].set(
             jnp.asarray(values, dtype=self.atiles.dtype)
         )
@@ -339,7 +343,7 @@ class SuperBsrOperator:
 
     def entry_values(self) -> np.ndarray:
         """Current values of all nnz entries in CSR order (device read)."""
-        flat = self.atiles.reshape(self.atiles.shape[0], TILE_R * TILE_C)
+        flat = self.atiles.reshape(self.atiles.shape[0], -1)
         return np.asarray(
             flat[jnp.asarray(self._entry_tile),
                  jnp.asarray(self._entry_offset)].astype(jnp.float32)

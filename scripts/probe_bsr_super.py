@@ -88,19 +88,24 @@ def main():
     dt, acc = timed(op0, "flat-f32")
     results["flat_f32_highest"] = (dt, acc, a_bytes0 + x_bytes0 + y_bytes0)
 
-    for mode in ("f32", "bf16x3", "bf16x2"):
-        op = SuperBsrOperator(Ap, dtype=jnp.float32, mode=mode)
+    for mode, (tr, tc) in (
+        ("f32", (512, 512)), ("bf16x3", (512, 512)), ("bf16x2", (512, 512)),
+        ("bf16x3", (512, 128)), ("bf16x2", (512, 128)),
+        ("bf16x3", (1024, 128)), ("bf16x3", (512, 256)),
+        ("bf16x3", (256, 128)),
+    ):
+        op = SuperBsrOperator(Ap, dtype=jnp.float32, mode=mode, tile=(tr, tc))
         slab = np.asarray(op.meta[0])
         switches = 1 + int(np.sum(slab[1:] != slab[:-1]))
         itemsize = 2 if mode.startswith("bf16x") else 4
         terms = int(mode[-1]) if mode.startswith("bf16x") else 1
         xw = 2 * terms if mode.startswith("bf16x") else 4
-        a_bytes = op.ntiles * TILE_R * TILE_C * itemsize
-        x_bytes = switches * TILE_C * b * xw
+        a_bytes = op.ntiles * tr * tc * itemsize
+        x_bytes = switches * tc * b * xw
         y_bytes = op.n_pad * b * 4
         dt, acc = timed(op, f"super-{mode}")
-        results[f"super_{mode}_t{op.ntiles}"] = (dt, acc,
-                                                 a_bytes + x_bytes + y_bytes)
+        results[f"{mode}_{tr}x{tc}_t{op.ntiles}"] = (dt, acc,
+                                                     a_bytes + x_bytes + y_bytes)
 
     print(f"{'variant':<20}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>12}"
           f"{'MB/spmm':>10}{'bound ms':>10}{'% of SoL':>9}")
