@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Budget-sweep protocol (Figures 1-4, test_unweighted_*_budget.m:16-22) —
+# CPU-feasible graphs of the reference's 6-transport roster
+# (dir indices [3,6,7,9,11,12] = Anaheim Birmingham ChicagoRegional Hawaii
+# RhodeIsland Rome; the large four run on TPU via run_budget_tpu.sh).
+# k=10..100 read as prefixes of one k=100 run per (dataset, Q, mode);
+# keyed ResultLog rows make every invocation resumable.
+set -u
+cd "$(dirname "$0")/.."
+RUN() { echo "=== budget $* ($(date +%H:%M:%S))"; timeout 21600 python -u -m krylov_robustness_tpu.experiments budget "$@"; }
+
+RUN --mode break --datasets Anaheim
+RUN --mode make  --datasets Anaheim
+RUN --mode break --datasets Rome
+RUN --mode make  --datasets Rome
+echo "=== cpu budget queue done ($(date +%H:%M:%S))"
