@@ -89,6 +89,7 @@ def main(argv=None):
     s = sub.add_parser("scaling", help="sharded-SpMM scaling efficiency")
     s.add_argument("--dataset", default="Barcelona")
     s.add_argument("--batch", type=int, default=8)
+    s.add_argument("--layout", choices=["coo", "ell"], default="coo")
 
     args = p.parse_args(argv)
     dtype = _setup_platform(args.tpu)
@@ -135,10 +136,12 @@ def main(argv=None):
         from .scaling import measure_sharded_spmm, scaling_efficiency
 
         A = preprocess_unweighted(load_transport(args.dataset))
-        res = measure_sharded_spmm(A, b=args.batch, dtype=dtype)
+        res = measure_sharded_spmm(A, b=args.batch, dtype=dtype,
+                                   layout=args.layout)
         eff = scaling_efficiency(res)
         print(json.dumps({
             "dataset": args.dataset,
+            "layout": args.layout,
             "rates_nnzb_per_s": {str(d): r for d, (t, r) in res.items()},
             "efficiency": {str(d): e for d, e in eff.items()},
         }))

@@ -22,8 +22,11 @@ from ..parallel.spmm_sharded import RowShardedMatrix
 
 
 def measure_sharded_spmm(A_scipy, mesh_sizes=None, b: int = 8,
-                         iters: int = 50, dtype=jnp.float32):
-    """Returns {D: (seconds_per_spmm, nnz_b_per_s)}."""
+                         iters: int = 50, dtype=jnp.float32,
+                         layout: str = "coo"):
+    """Returns {D: (seconds_per_spmm, nnz_b_per_s)}. ``layout``: the
+    RowShardedMatrix local-block representation ('coo' segment-sum or
+    'ell' padded column slots via the native packer)."""
     n = A_scipy.shape[0]
     nnz = A_scipy.nnz
     total = len(jax.devices())
@@ -34,7 +37,8 @@ def measure_sharded_spmm(A_scipy, mesh_sizes=None, b: int = 8,
     out = {}
     for D in mesh_sizes:
         mesh = make_mesh(D)
-        M = RowShardedMatrix.from_scipy(A_scipy, mesh, dtype=dtype)
+        M = RowShardedMatrix.from_scipy(A_scipy, mesh, dtype=dtype,
+                                        layout=layout)
         x = jnp.asarray(np.pad(x_host, ((0, M.n - n), (0, 0))), dtype=dtype)
         xs = jax.device_put(x, NamedSharding(mesh, P("rows", None)))
 

@@ -2,7 +2,10 @@
 
 Scheme (SURVEY.md §2.5 / §5.8): the matrix is split into row blocks, one per
 device along the ``rows`` mesh axis; each device stores its block's entries
-as (local_row, global_col, val) padded to a uniform nnz. The SpMM is a
+as (local_row, global_col, val) padded to a uniform nnz (layout='coo'), or
+as a padded-ELL block (layout='ell': K global-column slots per local row,
+packed by the native C++ packer ``native/graphpack.cpp::pack_ell``) whose
+local SpMM is K vectorized gathers with no segment_sum. The SpMM is a
 ``shard_map``:
 
     x sharded by rows → all_gather over ICI → local gather+segment_sum
@@ -39,16 +42,16 @@ class RowShardedMatrix:
     def tree_flatten(self):
         return (self.rows_local, self.cols, self.vals), (
             self.mesh, self.n, self.n_orig, self.nnz, self.axis,
-            self.batch_axis,
+            self.batch_axis, self.layout,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         rows_local, cols, vals = children
-        mesh, n, n_orig, nnz, axis, batch_axis = aux
+        mesh, n, n_orig, nnz, axis, batch_axis, layout = aux
         return cls(mesh=mesh, rows_local=rows_local, cols=cols, vals=vals,
                    n=n, n_orig=n_orig, nnz=nnz, axis=axis,
-                   batch_axis=batch_axis)
+                   batch_axis=batch_axis, layout=layout)
 
     mesh: Mesh
     rows_local: jax.Array  # (D * nnz_shard,) row-sharded: local row ids
@@ -62,6 +65,9 @@ class RowShardedMatrix:
     # batch) dimension — the DP analog of SURVEY.md §2.5 item 1 composed
     # with the row partitioning (TP/SP analog). None = 1-D mesh behavior.
     batch_axis: str | None = None
+    # 'coo': flat (local_row, global_col, val) + segment_sum; 'ell': padded
+    # (rps, K) column-slot blocks + K vectorized gathers (no segment_sum)
+    layout: str = "coo"
 
     @property
     def dtype(self):
@@ -86,7 +92,7 @@ class RowShardedMatrix:
 
     @staticmethod
     def from_scipy(A, mesh: Mesh, dtype=jnp.float64, axis: str = "rows",
-                   batch_axis: str | None = None):
+                   batch_axis: str | None = None, layout: str = "coo"):
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -94,6 +100,27 @@ class RowShardedMatrix:
         D = mesh.shape[axis]
         n = _round_up(n_orig, D)
         rps = n // D
+        if layout == "ell":
+            from ..native.graphpack import pack_ell
+
+            K = max(int(np.diff(A.indptr).max()), 1)
+            cols = np.zeros((n, K), np.int32)
+            vals = np.zeros((n, K), np.float64)
+            for s_i in range(D):
+                blk = A[s_i * rps:min((s_i + 1) * rps, n_orig), :]
+                c_b, v_b = pack_ell(blk, rps, K)
+                cols[s_i * rps:(s_i + 1) * rps] = c_b
+                vals[s_i * rps:(s_i + 1) * rps] = v_b
+            sh = NamedSharding(mesh, P(axis))
+            return RowShardedMatrix(
+                mesh=mesh,
+                rows_local=jax.device_put(
+                    jnp.zeros((D,), jnp.int32), sh),  # unused in ELL layout
+                cols=jax.device_put(jnp.asarray(cols), sh),
+                vals=jax.device_put(jnp.asarray(vals, dtype=dtype), sh),
+                n=n, n_orig=n_orig, nnz=int(A.nnz), axis=axis,
+                batch_axis=batch_axis, layout="ell",
+            )
         C = sp.coo_matrix(A)
         order = np.argsort(C.row, kind="stable")
         rows, cols, vals = C.row[order], C.col[order], C.data[order]
@@ -138,6 +165,33 @@ class RowShardedMatrix:
         """
         axis = self.axis
         rps = self.rows_per_shard
+
+        if self.layout == "ell":
+            K = self.cols.shape[1]
+
+            def kern_ell(cols, vals, x_l):
+                lo = jax.lax.axis_index(axis).astype(cols.dtype) * rps
+                is_local = (cols >= lo) & (cols < lo + rps)
+                x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
+                y = jnp.zeros((rps, x_l.shape[1]), x_l.dtype)
+                # diagonal-block slots first: they read only local x, so the
+                # whole pass runs while the all_gather is in flight (same
+                # latency-hiding structure as the COO path)
+                for k in range(K):
+                    ck, vk, loc = cols[:, k], vals[:, k], is_local[:, k]
+                    y = y + jnp.where(loc, vk, 0)[:, None] * x_l[
+                        jnp.clip(ck - lo, 0, rps - 1)]
+                for k in range(K):
+                    ck, vk, loc = cols[:, k], vals[:, k], is_local[:, k]
+                    y = y + jnp.where(loc, 0, vk)[:, None] * x_full[ck]
+                return y
+
+            return shard_map(
+                kern_ell,
+                mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis, self.batch_axis)),
+                out_specs=P(axis, self.batch_axis),
+            )(self.cols, self.vals, x_sharded)
 
         def kern(rows_l, cols, vals, x_l):
             lo = jax.lax.axis_index(axis).astype(cols.dtype) * rps

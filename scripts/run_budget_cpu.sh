@@ -11,6 +11,16 @@ RUN() { echo "=== budget $* ($(date +%H:%M:%S))"; timeout 21600 python -u -m kry
 
 RUN --mode break --datasets Anaheim
 RUN --mode make  --datasets Anaheim
+
+# CPU break edge-pick intersections (reference's .dat overlap table,
+# test_unweighted_break.m:134-148,157): the 08-18 CPU break goldens predate
+# inter_log, so regenerate the small paper graphs into a fresh table dir
+# (f64; keyed resume makes this restartable).
+echo "=== break intersections rerun ($(date +%H:%M:%S))"
+timeout 21600 python -u -m krylov_robustness_tpu.experiments \
+    --out-dir results_cpu_rerun unweighted --mode break \
+    --datasets london netscience Anaheim Barcelona Edinburgh CollegeMsg yeast Cardiff
+
 RUN --mode break --datasets Rome
 RUN --mode make  --datasets Rome
 echo "=== cpu budget queue done ($(date +%H:%M:%S))"

@@ -120,3 +120,22 @@ def test_taylor_plan_and_entries_on_sharded_operator(mesh):
     want = scipy.linalg.expm(Ad)[omega[:, 0], omega[:, 1]]
     got, _ = entries_of_f_expmv(M8, omega, fun="exp")
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-12)
+
+
+def test_row_sharded_ell_layout_matches_scipy():
+    """ELL local blocks (native pack_ell) reproduce the COO-layout SpMM."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from helpers import random_graph
+    from krylov_robustness_tpu.parallel.mesh import make_mesh
+    from krylov_robustness_tpu.parallel.spmm_sharded import RowShardedMatrix
+
+    A = random_graph(150, 0.05, seed=9)
+    mesh = make_mesh(4)
+    M = RowShardedMatrix.from_scipy(A, mesh, dtype=jnp.float64, layout="ell")
+    assert M.layout == "ell" and M.cols.ndim == 2
+    x = np.random.default_rng(3).standard_normal((150, 5))
+    got = np.asarray(M @ jnp.asarray(x))
+    np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-12)
