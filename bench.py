@@ -22,6 +22,12 @@ works but is slow). Everything is measured inside one jitted scan so remote
 dispatch latency is excluded — matching how the kernels are consumed by the
 Krylov loops. Each phase is wrapped in a jax.profiler trace_annotation span
 (SURVEY.md §5.1).
+
+Remote-tunnel measurement rules (see scripts/probe_kernel_clean.py):
+every timed call gets a UNIQUE input (identical (executable, input) pairs
+can be served from a cache upstream) and completion is forced by fetching a
+jitted scalar sum of the chain output (block_until_ready does not reliably
+round-trip the relay).
 """
 
 import json
@@ -100,43 +106,40 @@ def main():
         def body(x, _):
             return (op @ x)[: x.shape[0]] * 1e-3, ()
 
-        return jax.lax.scan(body, x, None, length=iters)[0]
+        y = jax.lax.scan(body, x, None, length=iters)[0]
+        return jnp.sum(y)  # scalar: np.asarray forces execution
 
     def timed(op, tag):
         with trace_annotation(f"bench/{tag}"):
-            xp = jnp.zeros((op.n_pad, b), jnp.float32).at[:n].set(
+            n_pad = getattr(op, "n_pad", n)
+            xp = jnp.zeros((n_pad, b), jnp.float32).at[:n].set(
                 jnp.asarray(x0))
             acc = float(np.abs(np.asarray(op @ jnp.asarray(x0)) - ref).max()
                         / refmax)
-            y = chain(op, xp)
-            y.block_until_ready()
-            t0 = time.time()
-            y = chain(op, xp)
-            y.block_until_ready()
-            return (time.time() - t0) / iters, acc
+            float(np.asarray(chain(op, xp)))  # warmup/compile
+            best = 1e9
+            for i in range(3):
+                xi = xp + np.float32(1e-6 * (i + 1))  # unique per call
+                t0 = time.time()
+                float(np.asarray(chain(op, xi)))
+                best = min(best, (time.time() - t0) / iters)
+            return best, acc
 
     # --- XLA COO baseline (in-jit chain) -----------------------------------
-    with trace_annotation("bench/xla-coo"):
-        coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
-        xc = jnp.asarray(x0)
-        y = chain(coo, xc)
-        y.block_until_ready()
-        t0 = time.time()
-        y = chain(coo, xc)
-        y.block_until_ready()
-        t_coo = (time.time() - t0) / iters
+    coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
+    t_coo, _ = timed(coo, "xla-coo")
 
     rows = [("xla_coo", t_coo, 0.0, None)]
     t_best = t_coo
     if on_tpu:
         variants = [
             ("flat_f32", lambda: BsrOperator(Ap, dtype=jnp.float32), None),
-            ("super_bf16x3_512x512",
+            ("super_bf16x2_512x256",
+             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x2",
+                                      tile=(512, 256)), (512, 256)),
+            ("super_bf16x3_512x256",
              lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x3",
-                                      tile=(512, 512)), (512, 512)),
-            ("super_bf16x3_512x128",
-             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x3",
-                                      tile=(512, 128)), (512, 128)),
+                                      tile=(512, 256)), (512, 256)),
         ]
         for tag, make, tile in variants:
             try:
@@ -153,7 +156,10 @@ def main():
                 byt = (op.ntiles * tr * tc * 2 + switches * tc * b * 6
                        + op.n_pad * b * 4)
             rows.append((tag, dt, acc, byt))
-            if acc < 1e-6 and dt < t_best:
+            # accuracy gate: 1e-5 admits bf16x2 (~2^-18), whose error level
+            # equals the f32 trace-update convergence floor (32·eps_f32) —
+            # the production greedy scorer runs on exactly this kernel
+            if acc < 1e-5 and dt < t_best:
                 t_best = dt
 
     print(f"{'variant':<24}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>11}"

@@ -41,9 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLK = 128
 SUP = 4  # default 128-row blocks per super-row (tile height 512)
-SLAB = 4  # default 128-col blocks per x slab (tile width 512)
+SLAB = 2  # default 128-col blocks per x slab (tile width 256)
 TILE_R = SUP * BLK  # default tile height (see SuperBsrOperator(tile=...))
 TILE_C = SLAB * BLK  # default tile width
+# clean-chip shape sweep on Vermont b=512 (scripts/probe_kernel_clean.py,
+# memoization-proof protocol): 512x256 bf16x2 3.69 ms vs 512x512 4.06 /
+# 512x128 3.86 / 1024x128 4.50 / flat-128x128-f32 4.38 / XLA COO 7.03
 
 
 def _round_up(x: int, m: int) -> int:
@@ -287,11 +290,16 @@ class SuperBsrOperator:
         atiles, meta, et, eo, n_pad = pack_bsr_super(A, tile[0], tile[1])
         self.n_pad = n_pad
         if mode == "auto":
+            # bf16x2's ~2^-18 error equals the f32 trace-update convergence
+            # floor (32·eps_f32, updates/trace_update.py), so for bf16-exact
+            # adjacency values it is accuracy-consistent with the f32 path
+            # at ~1.5x the speed of HIGHEST; use bf16x3 (~f32-exact) when a
+            # tighter product is needed.
             bf16_exact = bool(
                 np.all(atiles.astype(jnp.bfloat16).astype(np.float64)
                        == atiles)
             )
-            mode = "bf16x3" if (bf16_exact and dtype == jnp.float32) else "f32"
+            mode = "bf16x2" if (bf16_exact and dtype == jnp.float32) else "f32"
         self.mode = mode
         store = jnp.bfloat16 if mode.startswith("bf16x") else dtype
         self.atiles = jnp.asarray(atiles, dtype=store)

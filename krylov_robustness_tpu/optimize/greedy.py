@@ -297,15 +297,19 @@ def greedy_krylov(
     use_banded = use_bsr = False
     want_pallas = backend in ("auto", "banded", "bsr") and mode == "break"
     if want_pallas and (backend != "auto" or jax.default_backend() == "tpu"):
-        from ..ops.pallas_bsr import BLK, bsr_block_count
+        from ..ops.pallas_bsr_super import (
+            TILE_C,
+            TILE_R,
+            super_tile_count,
+        )
         from ..ops.pallas_spmm import rcm_bandwidth, rcm_permutation
 
         perm = rcm_permutation(A)
         wide_batch = 2 * Q >= 256
         if backend == "bsr" or (backend == "auto" and wide_batch):
-            nblk = bsr_block_count(A, perm)
-            itemsize = jnp.dtype(dtype).itemsize
-            use_bsr = nblk * BLK * BLK * itemsize <= 768 * 1024 * 1024
+            ntile = super_tile_count(A, perm)
+            # bf16 tile storage (mode auto picks bf16x2 for 0/±1 adjacency)
+            use_bsr = ntile * TILE_R * TILE_C * 2 <= 768 * 1024 * 1024
         if not use_bsr:
             bw = rcm_bandwidth(A, perm)
             use_banded = 2 * ((bw + 127) // 128 + 1) - 1 <= 17
@@ -316,10 +320,10 @@ def greedy_krylov(
         Ap = A[perm, :].tocsc()[:, perm].tocsr()
         interpret = jax.default_backend() != "tpu"
         if use_bsr:
-            from ..ops.pallas_bsr import BsrOperator
+            from ..ops.pallas_bsr_super import SuperBsrOperator
 
             F = _BsrAdapter(
-                BsrOperator(Ap, dtype=dtype, interpret=interpret), pinv
+                SuperBsrOperator(Ap, dtype=dtype, interpret=interpret), pinv
             )
         else:
             from ..ops.pallas_spmm import BandedEllOperator

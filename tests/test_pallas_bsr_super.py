@@ -39,7 +39,7 @@ def test_super_bsr_bf16_split_modes():
     err3 = np.abs(np.asarray(op3 @ jnp.asarray(x, jnp.float32)) - ref).max()
     assert err3 / scale < 3e-7  # three terms recover f32 accuracy
     # auto picks the bf16 path only for bf16-exact values
-    assert SuperBsrOperator(A, dtype=jnp.float32, interpret=True).mode == "bf16x3"
+    assert SuperBsrOperator(A, dtype=jnp.float32, interpret=True).mode == "bf16x2"
     Aw = A.copy().astype(np.float64)
     Aw.data *= 1 + 1e-4 * np.arange(len(Aw.data))  # not bf16-exact
     assert SuperBsrOperator(Aw, dtype=jnp.float32, interpret=True).mode == "f32"
