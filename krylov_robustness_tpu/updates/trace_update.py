@@ -145,6 +145,26 @@ class TraceUpdateResult:
     converged: jax.Array  # (batch,) bool
 
 
+def _eigvals_banded_batch(G: np.ndarray, nband: int) -> np.ndarray:
+    """Eigenvalues of a batch of symmetric BANDED matrices (lower bandwidth
+    < nband) via LAPACK dsbev — O(M²·nband) per candidate instead of
+    eigvalsh's O(M³), which dominates the greedy wall time on TPU sessions
+    (the projected matrices are block-tridiagonal, ``trace_fun_update.m``'s
+    Gm structure)."""
+    import scipy.linalg
+
+    batch, M, _ = G.shape
+    band = np.zeros((batch, nband, M), G.dtype)
+    for d in range(nband):
+        band[:, d, : M - d] = np.diagonal(G, -d, axis1=1, axis2=2)
+    out = np.empty((batch, M), G.dtype)
+    for c in range(batch):
+        out[c] = scipy.linalg.eigvals_banded(
+            band[c], lower=True, check_finite=False,
+        )
+    return out
+
+
 def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
                       fun_name: str, shift: float = 0.0):
     """Host (numpy/LAPACK) version of :func:`_delta_trace_at`.
@@ -153,7 +173,10 @@ def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
     batched ``eigh`` inside the phase programs compiles into ~100 MB
     executables on the remote compile server (minutes per phase shape), so
     for TPU the device keeps only the SpMM-heavy recurrence and the small
-    dense math runs here (same split as compute_centrality_host).
+    dense math runs here (same split as compute_centrality_host). The
+    matrices are block-tridiagonal (bandwidth 3·bs−1, plus the top-left
+    2bs×2bs Cm block inside that band), so the spectra come from the banded
+    LAPACK solver — the dense eigvalsh here was the greedy bottleneck.
     """
     steps, batch = h_np.shape[0], h_np.shape[1]
     M = m_total * bs
@@ -166,8 +189,9 @@ def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
     k = Cm_np.shape[-1]
     tG = G.copy()
     tG[:, :k, :k] += (Cm_np + np.swapaxes(Cm_np, -1, -2)) / 2
-    d1 = np.linalg.eigvalsh(tG)
-    d2 = np.linalg.eigvalsh(G)
+    nband = min(max(3 * bs, k), M)  # Cm (k×k) sits inside the band for k≤3bs
+    d1 = _eigvals_banded_batch(tG, nband)
+    d2 = _eigvals_banded_batch(G, nband)
     from ..funm.dense import trace_fun_difference_eigs
 
     import jax.numpy as _jnp

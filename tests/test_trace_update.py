@@ -172,3 +172,27 @@ def test_rescale():
     res = trace_fun_update_edges(M, edges, sign=-1.0, rescale=2.0, tol=1e-4)
     want = np.array([dense_delta(Ad, i, j, -0.5) for i, j in edges])
     np.testing.assert_allclose(np.asarray(res.delta), want, rtol=1e-6)
+
+
+def test_host_banded_eigh_matches_jit_path():
+    """The TPU-session host path (banded LAPACK spectra of the
+    block-tridiagonal projections) must match the jitted dense-eigh path."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.updates.trace_update import (
+        edge_B,
+        edge_start_blocks,
+        trace_fun_update_batched,
+    )
+
+    A = random_graph(300, 0.04, seed=11)
+    M = CooMatrix.from_scipy(A)
+    C = sp.coo_matrix(sp.tril(A, -1))
+    E = np.stack([C.row[:12], C.col[:12]], axis=1)
+    U0 = edge_start_blocks(M.n, jnp.asarray(E), M.dtype)
+    B = edge_B(jnp.asarray(E), -1.0, 1.0, M.dtype)
+    r_jit = trace_fun_update_batched(M, U0, B, tol=1e-9, host_eigh=False)
+    r_host = trace_fun_update_batched(M, U0, B, tol=1e-9, host_eigh=True)
+    np.testing.assert_allclose(np.asarray(r_host.delta),
+                               np.asarray(r_jit.delta), rtol=1e-9)
