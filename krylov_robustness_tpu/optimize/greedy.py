@@ -288,14 +288,17 @@ def greedy_krylov(
 
     sign = -1.0 if mode == "break" else +1.0
 
-    # Pallas backend selection (break mode only: additions need pre-allocated
-    # slots which the frozen COO structure provides). Measured on v5e
-    # (Vermont): the BSR MXU kernel wins at the wide batches the paper
-    # protocol uses (2·Q ≈ 500 Lanczos columns), the banded lane-gather
-    # kernel at narrow ones; XLA COO is the fallback for graphs with no
-    # block/band structure.
+    # Pallas backend selection. Break edits zero existing slots; make edits
+    # write pre-allocated explicit-zero slots at the candidate (missing)
+    # edges, so both modes run on the frozen-structure super-tile kernel.
+    # Measured on v5e (Vermont): the super-tile MXU kernel wins at the wide
+    # batches the paper protocol uses (2·Q ≈ 500 Lanczos columns), the
+    # banded lane-gather kernel at narrow ones (break only — arbitrary
+    # additions fall outside its RCM band); XLA COO is the fallback for
+    # graphs with no block/band structure.
     use_banded = use_bsr = False
-    want_pallas = backend in ("auto", "banded", "bsr") and mode == "break"
+    A_aug = None
+    want_pallas = backend in ("auto", "banded", "bsr")
     if want_pallas and (backend != "auto" or jax.default_backend() == "tpu"):
         from ..ops.pallas_bsr_super import (
             TILE_C,
@@ -307,27 +310,45 @@ def greedy_krylov(
         perm = rcm_permutation(A)
         wide_batch = 2 * Q >= 256
         if backend == "bsr" or (backend == "auto" and wide_batch):
-            ntile = super_tile_count(A, perm)
+            A_aug = A
+            if mode == "make":
+                # pre-allocate candidate slots as explicit zeros (both
+                # triangles) so greedy additions are pure value updates
+                C0 = sp.coo_matrix(A)
+                r = np.concatenate([C0.row, top[:, 0], top[:, 1]])
+                c = np.concatenate([C0.col, top[:, 1], top[:, 0]])
+                v = np.concatenate(
+                    [C0.data, np.zeros(2 * len(top), C0.data.dtype)]
+                )
+                A_aug = sp.coo_matrix((v, (r, c)), shape=A.shape).tocsr()
+            ntile = super_tile_count(A_aug, perm)
             # bf16 tile storage (mode auto picks bf16x2 for 0/±1 adjacency)
             use_bsr = ntile * TILE_R * TILE_C * 2 <= 768 * 1024 * 1024
-        if not use_bsr:
+        if not use_bsr and mode == "break":
             bw = rcm_bandwidth(A, perm)
             use_banded = 2 * ((bw + 127) // 128 + 1) - 1 <= 17
 
     if use_bsr or use_banded:
         pinv = np.empty_like(perm)
         pinv[perm] = np.arange(len(perm))
-        Ap = A[perm, :].tocsc()[:, perm].tocsr()
         interpret = jax.default_backend() != "tpu"
         if use_bsr:
             from ..ops.pallas_bsr_super import SuperBsrOperator
 
+            # permute in COO space: scipy's fancy-indexing permutation
+            # routes through matrix products that drop the explicit-zero
+            # slots make mode depends on
+            C1 = sp.coo_matrix(A_aug)
+            Ap = sp.coo_matrix(
+                (C1.data, (pinv[C1.row], pinv[C1.col])), shape=A.shape
+            ).tocsr()
             F = _BsrAdapter(
                 SuperBsrOperator(Ap, dtype=dtype, interpret=interpret), pinv
             )
         else:
             from ..ops.pallas_spmm import BandedEllOperator
 
+            Ap = A[perm, :].tocsc()[:, perm].tocsr()
             F = _BandedAdapter(
                 BandedEllOperator(Ap, dtype=dtype, interpret=interpret), pinv
             )

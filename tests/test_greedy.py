@@ -201,3 +201,31 @@ def test_greedy_banded_backend_matches_coo():
     np.testing.assert_allclose(r_coo.rob_variation, r_bsr.rob_variation,
                                rtol=1e-10)
     assert (r_coo.A_new != r_bsr.A_new).nnz == 0
+
+
+def test_greedy_make_bsr_backend_matches_coo():
+    """make-mode BSR: candidate additions are pre-allocated explicit-zero
+    tile slots; picks and totals must reproduce the COO path."""
+    import scipy.sparse as sp
+
+    n = 150
+    rng = np.random.default_rng(12)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 50)])
+    dst = np.concatenate([i + 1, np.zeros(50, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 50)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    r_coo = greedy_krylov(A, 3, 10, c, order="min", tol=1e-8, mode="make",
+                          backend="coo")
+    r_bsr = greedy_krylov(A, 3, 10, c, order="min", tol=1e-8, mode="make",
+                          backend="bsr")
+    np.testing.assert_array_equal(r_coo.edges, r_bsr.edges)
+    np.testing.assert_allclose(r_coo.rob_variation, r_bsr.rob_variation,
+                               rtol=1e-10)
+    assert (r_coo.A_new != r_bsr.A_new).nnz == 0
