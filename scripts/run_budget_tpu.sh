@@ -6,6 +6,8 @@ set -u
 cd "$(dirname "$0")/.."
 RUN() { echo "=== budget $* ($(date +%H:%M:%S))"; timeout 21600 python -u -m krylov_robustness_tpu.experiments --tpu --out-dir results_tpu budget "$@"; }
 
+RUN --mode break --datasets Rome
+RUN --mode make  --datasets Rome
 RUN --mode break --datasets ChicagoRegional
 RUN --mode make  --datasets ChicagoRegional
 RUN --mode break --datasets Birmingham
