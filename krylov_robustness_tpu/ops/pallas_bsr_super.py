@@ -46,7 +46,20 @@ TILE_R = SUP * BLK  # default tile height (see SuperBsrOperator(tile=...))
 TILE_C = SLAB * BLK  # default tile width
 # clean-chip shape sweep on Vermont b=512 (scripts/probe_kernel_clean.py,
 # memoization-proof protocol): 512x256 bf16x2 3.69 ms vs 512x512 4.06 /
-# 512x128 3.86 / 1024x128 4.50 / flat-128x128-f32 4.38 / XLA COO 7.03
+# 512x128 3.86 / 1024x128 4.50 / flat-128x128-f32 4.38 / XLA COO 7.03.
+#
+# Why not faster (the speed-of-light argument, BASELINE.md): two manually
+# pipelined variants (double-buffered HBM DMAs per tile; per-super x windows
+# cutting DMA count ~3x) measured 3.55 / 4.05 ms — pipelining and DMA issue
+# overhead are NOT the wall. The wall is ZERO FILL: Vermont's 512x256 tiles
+# are ~0.2% dense, so the MXU executes ~500x more MACs than the nnz·b useful
+# work; at the measured ~50% MXU efficiency on these shapes the dense-tile
+# family caps near ~3.5 ms (≈30 Gnnz·b/s). The fill-free alternative
+# (gather + segment_sum) is VPU-bound at 15.4 Gnnz·b/s (XLA COO, same
+# graph/batch), and sub-128-row tiles waste the MXU's 128-lane rows.
+# 29 Gnnz·b/s ≈ 1.9x the best XLA path is the practical ceiling for
+# TPU SpMM at this sparsity; the experiments live in git history
+# (ops/pallas_bsr_super.py @ 174170a).
 
 
 def _round_up(x: int, m: int) -> int:
