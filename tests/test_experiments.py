@@ -173,3 +173,27 @@ def test_resultlog_cross_day_resume(tmp_path):
     # yesterday's artifact is untouched
     with open(old, newline="") as f:
         assert len(list(csv.DictReader(f))) == 1
+
+
+def test_budget_sweep_rows_have_positive_times(tmp_path, monkeypatch):
+    """Regression (round-1 weak item): budget rows froze with time=0.0 in
+    the goldens; every logged budget row must carry a real per-step time."""
+    import krylov_robustness_tpu.experiments.unweighted as uw
+
+    A = small_graph()
+    monkeypatch.setattr(uw, "load_transport", lambda name: A)
+    _, log = uw.run_budget_sweep(
+        ["toy"], budgets=[2, 4], search_spaces=[6], mode="break",
+        tol=1e-6, out_dir=tmp_path,
+    )
+    rows = log.rows if hasattr(log, "rows") else None
+    import csv
+    from pathlib import Path
+
+    csv_path = sorted(Path(tmp_path).glob("results_unweighted_break_budget_*.csv"))[-1]
+    with open(csv_path) as f:
+        data = list(csv.DictReader(f))
+    assert len(data) == 2
+    for r in data:
+        assert float(r["time"]) > 0.0
+        assert float(r["tr_variation"]) < 0.0
