@@ -60,6 +60,9 @@ def main(argv=None):
     u.add_argument("--k", type=int, default=50)
     u.add_argument("--Q", type=int, default=250)
     u.add_argument("--tol", type=float, default=1e-6)
+    u.add_argument("--gkb-only", action="store_true",
+                   help="run only the GREEDY_KRYLOV method (large-Q reruns "
+                   "next to existing Q=250 baselines)")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")
@@ -102,7 +105,8 @@ def main(argv=None):
                                tol=args.tol)
         run_paper_suite(cfg, out_dir=args.out_dir,
                         collections=tuple(args.collections),
-                        datasets=args.datasets or None, dtype=dtype)
+                        datasets=args.datasets or None, dtype=dtype,
+                        gkb_only=args.gkb_only)
     elif args.cmd == "budget":
         from .unweighted import run_budget_sweep
 

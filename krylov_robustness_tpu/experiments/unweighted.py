@@ -58,9 +58,18 @@ def _intersections(gkb: np.ndarray, miobi: np.ndarray, eigenv: np.ndarray):
     return [len(a & b), len(a & c), len(b & c), len(a & b & c)]
 
 
+def gkb_method_label(cfg: UnweightedConfig) -> str:
+    """Method label for the GKB rows. Non-default search spaces get a
+    ``_Q{Q}`` suffix so large-Q reruns (the full-candidate-set regime of
+    ``krylov_miobi.m:43-52``) land as DISTINCT golden rows next to the
+    Q=250 paper-protocol rows instead of overwriting them."""
+    base = f"GREEDY_KRYLOV_{cfg.mode.upper()}"
+    return base + (f"_Q{cfg.Q}" if cfg.Q != 250 else "")
+
+
 def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
                 dtype=jnp.float64, checkpoint=None, verbose=True,
-                inter_log: ResultLog | None = None):
+                inter_log: ResultLog | None = None, gkb_only: bool = False):
     A = preprocess_unweighted(A_raw)
     n = A.shape[0]
     m = A.nnz // 2
@@ -109,10 +118,14 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     )
     t_gkb = timer.lap() + time_centrality
     log.append(
-        method=f"GREEDY_KRYLOV_{cfg.mode.upper()}", dataset=name, n=n, m=m,
+        method=gkb_method_label(cfg), dataset=name, n=n, m=m,
         searchspace_size=Q + cfg.k, centrality_order=cfg.order, time=t_gkb,
         tr_variation=res.rob_variation / trexp, budget_size=cfg.k,
     )
+    if gkb_only:
+        if verbose:
+            print(f"  {gkb_method_label(cfg)}={res.rob_variation / trexp:.4e}")
+        return {"greedy": res, "trexp": trexp, "nrm": nrm}
 
     # ---- MIOBI (rescored) --------------------------------------------------
     timer.lap()
@@ -168,7 +181,8 @@ def _misc_path_exists(name: str) -> bool:
 
 def run_paper_suite(cfg: UnweightedConfig | None = None,
                     out_dir: str = "results", collections=("misc", "transport"),
-                    datasets: list[str] | None = None, dtype=jnp.float64):
+                    datasets: list[str] | None = None, dtype=jnp.float64,
+                    gkb_only: bool = False):
     """Full Table-2/3 protocol over the paper's 22 unweighted graphs."""
     cfg = cfg or UnweightedConfig()
     log = ResultLog(out_dir, f"unweighted_{cfg.mode}",
@@ -201,13 +215,17 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
     ckpt_dir = Path(out_dir) / "checkpoints"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     for coll, name in names:
-        if log.has(method="EIGENV", dataset=name):
-            continue  # resumed: EIGENV is logged last, so dataset completed
+        # resume check: EIGENV is logged last in full runs; gkb-only runs
+        # complete once their (Q-suffixed) GKB row exists
+        done_marker = gkb_method_label(cfg) if gkb_only else "EIGENV"
+        if log.has(method=done_marker, dataset=name):
+            continue
         A = load_misc(name) if coll == "misc" else load_transport(name)
         # per-step greedy state survives a killed run (SURVEY.md §5.3):
         # hour-scale graphs (Vermont, Hawaii, ...) resume mid-sweep
+        q_tag = f"_Q{cfg.Q}" if cfg.Q != 250 else ""
         ckpt = GreedyCheckpoint(
-            ckpt_dir / f"greedy_{cfg.mode}_{name}.json",
+            ckpt_dir / f"greedy_{cfg.mode}_{name}{q_tag}.json",
             fingerprint={"mode": cfg.mode, "k": cfg.k, "Q": cfg.Q,
                          "tol": cfg.tol, "order": cfg.order,
                          "dtype": jnp.dtype(dtype).name,
@@ -217,7 +235,8 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
                          "score_ver": 2},
         )
         results[name] = run_dataset(A, name, cfg, log, dtype=dtype,
-                                    inter_log=inter_log, checkpoint=ckpt)
+                                    inter_log=inter_log, checkpoint=ckpt,
+                                    gkb_only=gkb_only)
         jax.clear_caches()  # per-dataset shapes never rehit; avoid host OOM
     return results, log
 
@@ -240,11 +259,26 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
                        budget_size=kmax0) for Q in search_spaces):
             continue  # resumed: all sweeps for this dataset already logged
         M = CooMatrix.from_scipy(A, dtype=dtype)
-        nrm = float(np.exp(float(normest2(M, tol=1e-2))))
-        trexp = trace_exp(M)
-        t_cent = time.perf_counter()
-        centrality = compute_centrality(M, "eig")
-        t_cent = time.perf_counter() - t_cent
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            # same host routing as run_dataset: tiny eigen-iterations through
+            # the remote tunnel are dominated by dispatch/compile latency
+            from ..funm.normest import normest2_host
+            from ..graphs.centrality import compute_centrality_host
+
+            nrm = float(np.exp(float(normest2_host(A, tol=1e-2))))
+            trexp = trace_exp(M)
+            t_cent = time.perf_counter()
+            centrality = compute_centrality_host(A, "eig")
+            t_cent = time.perf_counter() - t_cent
+        else:
+            nrm = float(np.exp(float(normest2(M, tol=1e-2))))
+            trexp = trace_exp(M)
+            t_cent = time.perf_counter()
+            centrality = compute_centrality(M, "eig")
+            t_cent = time.perf_counter() - t_cent
         kmax = max(budgets)
         for Q in search_spaces:
             Qe = min(A.nnz // 2 - kmax, Q)

@@ -145,74 +145,142 @@ class TraceUpdateResult:
     converged: jax.Array  # (batch,) bool
 
 
-def _eigvals_banded_batch(G: np.ndarray, nband: int) -> np.ndarray:
-    """Eigenvalues of a batch of symmetric BANDED matrices (lower bandwidth
-    < nband) via LAPACK dsbev — O(M²·nband) per candidate instead of
-    eigvalsh's O(M³), which dominates the greedy wall time on TPU sessions
-    (the projected matrices are block-tridiagonal, ``trace_fun_update.m``'s
-    Gm structure)."""
+_EIG_POOL = None
+
+
+def _eig_pool():
+    """Shared thread pool for the host LAPACK spectra: scipy's banded eig
+    releases the GIL inside the Fortran call, so candidates factor in
+    parallel on the host cores while the device sits idle anyway."""
+    global _EIG_POOL
+    if _EIG_POOL is None:
+        import concurrent.futures
+        import os
+
+        _EIG_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, os.cpu_count() or 2)
+        )
+    return _EIG_POOL
+
+
+def _eigvals_banded_batch(band: np.ndarray) -> np.ndarray:
+    """Eigenvalues of a batch of symmetric matrices in LOWER-banded storage
+    (batch, nband, M) via LAPACK dsbev — O(M²·nband) per candidate instead
+    of eigvalsh's O(M³). Threaded across the batch."""
     import scipy.linalg
 
-    batch, M, _ = G.shape
-    band = np.zeros((batch, nband, M), G.dtype)
-    for d in range(nband):
-        band[:, d, : M - d] = np.diagonal(G, -d, axis1=1, axis2=2)
-    out = np.empty((batch, M), G.dtype)
-    for c in range(batch):
+    batch, _, M = band.shape
+    out = np.empty((batch, M), band.dtype)
+
+    def one(c):
         out[c] = scipy.linalg.eigvals_banded(
             band[c], lower=True, check_finite=False,
         )
+
+    if batch > 1:
+        list(_eig_pool().map(one, range(batch)))
+    elif batch:
+        one(0)
     return out
 
 
-def _host_delta_trace(h_np, beta_np, Cm_np, m_total: int, bs: int,
-                      fun_name: str, shift: float = 0.0):
-    """Host (numpy/LAPACK) version of :func:`_delta_trace_at`.
+_NP_FUNS = {"exp": np.exp, "sinh": np.sinh, "cosh": np.cosh,
+            "identity": lambda x: x}
 
-    The projected matrices are tiny ((2m)² per candidate) — on TPU sessions
-    batched ``eigh`` inside the phase programs compiles into ~100 MB
-    executables on the remote compile server (minutes per phase shape), so
-    for TPU the device keeps only the SpMM-heavy recurrence and the small
-    dense math runs here (same split as compute_centrality_host). The
-    matrices are block-tridiagonal (bandwidth 3·bs−1, plus the top-left
-    2bs×2bs Cm block inside that band), so the spectra come from the banded
-    LAPACK solver — the dense eigvalsh here was the greedy bottleneck.
+
+def _trace_fun_difference_np(d1, d2, fun_name: str, shift: float = 0.0):
+    """Pure-numpy twin of :func:`..funm.dense.trace_fun_difference_eigs` —
+    the host path must NOT touch jnp: on TPU sessions an eager jnp op on
+    straggler-shaped arrays compiles a fresh one-off remote program per
+    boundary shape (30s+ each through the compile server)."""
+    if fun_name == "exp":
+        return np.sum(np.exp(d1 - shift) * -np.expm1(d2 - d1), axis=-1)
+    f = _NP_FUNS[fun_name]
+    return np.sum(f(d1 - shift) - f(d2 - shift), axis=-1)
+
+
+def _band_from_blocks(h_np, beta_np, Cm_np, m: int, bs: int):
+    """Lower-banded storage of the symmetrized projections, built directly
+    from the recurrence blocks (no dense (M×M) buffers).
+
+    The projected matrix at m steps is block tridiagonal
+    (``trace_fun_update.m:71-81``): diag blocks alpha_j = h[j][bs:2bs],
+    upper coupling blocks h[j][0:bs] (≈ beta_{j-1}ᵀ), lower blocks beta_j.
+    After (G+Gᵀ)/2 the lower bandwidth is 2bs−1, so the banded storage is
+    (batch, 2bs, M): band[d, col] = G[col+d, col]. Returns (band_tG, band_G)
+    where tG adds the symmetrized Cm = R0·B·R0ᵀ top-left coupling
+    (``trace_fun_update.m:73-77``); truncations to fewer steps are column
+    slices band[:, :, :m'·bs] of the same arrays.
     """
-    steps, batch = h_np.shape[0], h_np.shape[1]
-    M = m_total * bs
-    G = np.zeros((batch, M + 2 * bs, M), h_np.dtype)
-    for j in range(m_total):
-        contrib = np.concatenate([h_np[j], beta_np[j]], axis=1)  # (batch,3bs,bs)
-        G[:, j * bs:(j + 3) * bs, j * bs:(j + 1) * bs] = contrib
-    G = G[:, bs:bs + M, :]
-    G = (G + np.swapaxes(G, -1, -2)) / 2
+    batch = h_np.shape[1]
+    M = m * bs
+    alpha = h_np[:m, :, bs:2 * bs, :]                       # (m, batch, bs, bs)
+    Dsym = (alpha + alpha.transpose(0, 1, 3, 2)) / 2
     k = Cm_np.shape[-1]
-    tG = G.copy()
-    tG[:, :k, :k] += (Cm_np + np.swapaxes(Cm_np, -1, -2)) / 2
-    nband = min(max(3 * bs, k), M)  # Cm (k×k) sits inside the band for k≤3bs
-    d1 = _eigvals_banded_batch(tG, nband)
-    d2 = _eigvals_banded_batch(G, nband)
-    from ..funm.dense import trace_fun_difference_eigs
-
-    import jax.numpy as _jnp
-
-    return np.asarray(
-        trace_fun_difference_eigs(_jnp.asarray(d1), _jnp.asarray(d2), fun_name,
-                                  shift=shift)
+    nb = min(max(2 * bs, k), M)
+    band = np.zeros((batch, nb, M), h_np.dtype)
+    rl, c = np.tril_indices(bs)
+    d_idx = np.broadcast_to(rl - c, (m, len(rl))).ravel()
+    col_idx = (np.arange(m)[:, None] * bs + c).ravel()
+    band[:, d_idx, col_idx] = np.moveaxis(Dsym[:, :, rl, c], 1, 0).reshape(
+        batch, -1
     )
+    if m > 1:
+        coup_next = h_np[1:m, :, 0:bs, :]                   # h[j+1][0:bs]
+        Lsym = (beta_np[:m - 1] + coup_next.transpose(0, 1, 3, 2)) / 2
+        rr, cc = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
+        rr, cc = rr.ravel(), cc.ravel()
+        d2_idx = np.broadcast_to(bs + rr - cc, (m - 1, bs * bs)).ravel()
+        col2 = (np.arange(m - 1)[:, None] * bs + cc).ravel()
+        band[:, d2_idx, col2] = np.moveaxis(
+            Lsym[:, :, rr, cc], 1, 0
+        ).reshape(batch, -1)
+    band_t = band.copy()
+    rl2, c2 = np.tril_indices(k)
+    Cs = (Cm_np + Cm_np.transpose(0, 2, 1)) / 2
+    band_t[:, rl2 - c2, c2] += Cs[:, rl2, c2]
+    return band_t, band
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def _lanczos_all(A, U0, num_steps: int):
+    """Start + full-schedule recurrence fused into ONE device program: on
+    TPU sessions every dispatch is a tunnel round-trip (~1s), so the whole
+    Krylov budget runs speculatively in one dispatch and the host reads the
+    per-step coefficient blocks back once. Convergence never feeds back into
+    the recurrence (forward blocks are unchanged by extension), so the
+    results are bit-identical to round-by-round extension."""
+    state0, R0 = lanczos_start(A, U0)
+    blocks, _ = lanczos_continue(A, state0, num_steps)
+    return blocks, R0, state0.alive
 
 
 def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
                             shift: float = 0.0):
-    """TPU-session variant: device runs jitted Lanczos extension rounds
-    (scan of SpMM + MGS only — small, fast-compiling programs), host does
-    the per-round projected eigendecompositions and the lag-d convergence
-    bookkeeping (``trace_fun_update.m:103-118``)."""
+    """TPU-session variant: the device runs the full SpMM-heavy recurrence
+    in one jitted dispatch; the host does the per-boundary projected
+    eigendecompositions and the lag-d convergence bookkeeping
+    (``trace_fun_update.m:103-118``) from the transferred blocks."""
+    import os
+    import time as _time
+
+    profile = bool(os.environ.get("KRT_PROFILE"))
     batch = U0.shape[0]
     bs = U0.shape[-1]
     dtype = U0.dtype
-    state, R0 = lanczos_start(A, U0)
-    Cm = np.asarray(jnp.einsum("bkl,blm,bpm->bkp", R0, B, R0))
+    total = int(sum(schedule))
+
+    t0 = _time.perf_counter()
+    blocks, R0, alive0 = _lanczos_all(A, U0, num_steps=total)
+    h_np = np.asarray(blocks.h, np.float64)
+    beta_np = np.asarray(blocks.beta, np.float64)
+    lucky = np.asarray(blocks.lucky_step)
+    alive0 = np.asarray(alive0)
+    R0_np = np.asarray(R0, np.float64)
+    t_device = _time.perf_counter() - t0
+
+    Cm = np.einsum("bkl,blm,bpm->bkp", R0_np, np.asarray(B, np.float64),
+                   R0_np)
 
     delta = np.zeros((batch,), np.float64)
     iters = np.zeros((batch,), np.int32)
@@ -223,30 +291,29 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
     # one. Keep the minimum-lag-error iterate per candidate and return it
     # when the tolerance is never met.
     best_err = np.full((batch,), np.inf)
-    h_np = np.zeros((0, batch, 2 * bs, bs), np.float64)
-    beta_np = np.zeros((0, batch, bs, bs), np.float64)
+    t0 = _time.perf_counter()
     m_done = 0
-    extend = jax.jit(lanczos_continue, static_argnames=("num_steps",))
     for steps in schedule:
-        blocks, state = extend(A, state, num_steps=int(steps))
-        h_np = np.concatenate([h_np, np.asarray(blocks.h, np.float64)], axis=0)
-        beta_np = np.concatenate(
-            [beta_np, np.asarray(blocks.beta, np.float64)], axis=0
-        )
         m_done += int(steps)
         act = np.nonzero(~converged)[0]  # host eigh only for stragglers
         if len(act) == 0:
             break
-        x_lag = _host_delta_trace(
-            h_np[:, act], beta_np[:, act], Cm[act], m_done - lag, bs, fun.name,
-            shift=shift,
+        band_t, band_g = _band_from_blocks(
+            h_np[:, act], beta_np[:, act], Cm[act], m_done, bs
         )
-        x_now = _host_delta_trace(
-            h_np[:, act], beta_np[:, act], Cm[act], m_done, bs, fun.name,
-            shift=shift,
+        M_lag = (m_done - lag) * bs
+        x_lag = _trace_fun_difference_np(
+            _eigvals_banded_batch(band_t[:, :, :M_lag]),
+            _eigvals_banded_batch(band_g[:, :, :M_lag]),
+            fun.name, shift=shift,
+        )
+        x_now = _trace_fun_difference_np(
+            _eigvals_banded_batch(band_t),
+            _eigvals_banded_batch(band_g),
+            fun.name, shift=shift,
         )
         err = np.abs(x_now - x_lag)
-        dead = ~np.asarray(state.alive)[act]
+        dead = (~alive0 | (lucky < m_done))[act]
         # dtype-aware floor: an f32 recurrence cannot resolve below ~32 eps
         # relative — without this, candidates whose true error plateaus at
         # the noise floor burn the whole 100-step budget
@@ -261,6 +328,10 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
         converged[act] = newly
         if converged.all():
             break
+    if profile:
+        print(f"[trace_update] batch={batch} bs={bs} device+xfer="
+              f"{t_device:.3f}s host_eig={_time.perf_counter() - t0:.3f}s "
+              f"m_final={m_done}", flush=True)
     return TraceUpdateResult(
         delta=jnp.asarray(delta, dtype),
         iters=jnp.asarray(iters),
