@@ -31,7 +31,10 @@ def run(datasets=None, out_dir: str = "results", dtype=jnp.float64,
             ("transport", "Barcelona"), ("misc", "jazz"), ("misc", "USAir97"),
             ("misc", "london"),
         ]
-    log = ResultLog(out_dir, "trace_exp", columns=TRACE_COLUMNS)
+    # keyed by dataset: resumed/re-run suites replace their old row instead
+    # of appending duplicates (the round-2 table carried nan-era duplicates)
+    log = ResultLog(out_dir, "trace_exp", columns=TRACE_COLUMNS,
+                    key=("dataset",))
     out = {}
     for coll, name in datasets:
         if coll == "oregon":

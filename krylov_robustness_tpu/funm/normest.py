@@ -109,13 +109,17 @@ def normest1_power(matvec, n: int, m: int = 1, t: int = 2,
     ind_hist: set[int] = set()
     S = np.zeros((n, t))
     est = 0.0
+    # unit-vector index behind each current X column; None on the first
+    # iteration, whose start block is the averaged ones/sign columns
+    # (MATLAB normest1's k=1 special case)
+    col_src: "np.ndarray | None" = None
     for k in range(1, itmax + 1):
         Y = power(X)
         sums = np.sum(np.abs(Y), axis=0)
         j = int(np.argmax(sums))
         est = float(sums[j])
         if est > est_old or k == 2:
-            ind_best = j if k == 1 else int(ind[j])  # noqa: F821
+            ind_best = j if col_src is None else int(col_src[j])
         if k >= 2 and est <= est_old:
             est = est_old
             break
@@ -148,6 +152,7 @@ def normest1_power(matvec, n: int, m: int = 1, t: int = 2,
         X = np.zeros((n, t))
         for j2, i in enumerate(ind[:t]):
             X[int(i), j2] = 1.0
+        col_src = np.asarray(ind[:t], dtype=int)
         ind_hist.update(int(i) for i in ind[:t])
     return est
 

@@ -54,6 +54,33 @@ def test_normest1_power_exact_on_mixed_sign():
         assert est >= 0.5 * want
 
 
+def test_normest1_power_multi_iteration_t2():
+    # Force the t>1, k>=3 path (the ind_best bookkeeping that maps the best
+    # column of Y back to the unit-vector index behind it): symmetrized
+    # inverse of a unit-upper-triangular perturbation takes 3 estimator
+    # iterations (found by search over seeds) and still lands exactly on
+    # the true 1-norm. Guards the col_src refactor of funm/normest.py.
+    from krylov_robustness_tpu.funm.normest import normest1_power
+
+    rng = np.random.default_rng(61)
+    n = 40
+    T = np.triu(rng.standard_normal((n, n))) + np.eye(n) * 2
+    B = np.linalg.inv(T)
+    B = (B + B.T) / 2
+    calls = [0]
+
+    def mv(X):
+        calls[0] += 1
+        return B @ X
+
+    est = normest1_power(mv, n, m=1, t=2, itmax=8, seed=1)
+    want = np.linalg.norm(B, 1)
+    iters = (calls[0] + 1) // 2  # power() runs twice per iteration (Y, Z)
+    assert iters >= 3, f"construction no longer multi-iterates ({iters})"
+    assert est <= want * (1 + 1e-10)
+    assert est >= 0.9 * want
+
+
 def test_select_taylor_degree_mixed_sign_not_worse_than_abs_bound():
     # a shifted/weighted operator with negative entries: the normest1 branch
     # must not pick a costlier (m, s) than the |A|-product upper bound
