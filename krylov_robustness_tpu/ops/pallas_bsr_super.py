@@ -60,6 +60,19 @@ TILE_C = SLAB * BLK  # default tile width
 # 29 Gnnz·b/s ≈ 1.9x the best XLA path is the practical ceiling for
 # TPU SpMM at this sparsity; the experiments live in git history
 # (ops/pallas_bsr_super.py @ 174170a).
+#
+# Round-3 closure of the ORDERING question (the last untried fill lever):
+# clustered orderings were hypothesized to beat RCM's band at the
+# rectangular tile-cover objective. Measured super-tile counts
+# (scripts/ordering_experiment.py): Vermont — RCM 805, recursive spectral
+# bisection 2,968, label-propagation communities 12,567; ca-AstroPh — RCM
+# 1,731, spectral 2,432, label-prop 2,232. RCM wins on both graph families
+# by 1.3–15x: a contiguous band IS the near-optimal 512x256 cover for
+# near-planar road networks, and even on the hub-dominated citation graph
+# the cluster diagonal blocks stay ~0.2% dense, so clustering only
+# scatters the off-diagonal mass across more slabs. The zero-fill wall
+# stands; further SpMM gains need fewer products (Krylov schedule /
+# candidate pruning), not faster or denser tiles.
 
 
 def _round_up(x: int, m: int) -> int:

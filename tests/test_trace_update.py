@@ -196,3 +196,66 @@ def test_host_banded_eigh_matches_jit_path():
     r_host = trace_fun_update_batched(M, U0, B, tol=1e-9, host_eigh=True)
     np.testing.assert_allclose(np.asarray(r_host.delta),
                                np.asarray(r_jit.delta), rtol=1e-9)
+
+
+def test_band_from_blocks_matches_dense_assembly():
+    # The banded storage built directly from recurrence blocks must equal
+    # the lower band of the dense symmetrized projection the old host path
+    # assembled (contrib blocks [coup; alpha; beta] per column block).
+    from krylov_robustness_tpu.updates.trace_update import _band_from_blocks
+
+    rng = np.random.default_rng(12)
+    for bs in (1, 2, 3):
+        m, batch = 7, 4
+        h = rng.standard_normal((m, batch, 2 * bs, bs))
+        beta = rng.standard_normal((m, batch, bs, bs))
+        Cm = rng.standard_normal((batch, bs, bs))
+        M = m * bs
+        # dense reference (the pre-round-3 construction)
+        G = np.zeros((batch, M + 2 * bs, M))
+        for j in range(m):
+            contrib = np.concatenate([h[j], beta[j]], axis=1)
+            G[:, j * bs:(j + 3) * bs, j * bs:(j + 1) * bs] = contrib
+        G = G[:, bs:bs + M, :]
+        G = (G + np.swapaxes(G, -1, -2)) / 2
+        tG = G.copy()
+        tG[:, :bs, :bs] += (Cm + np.swapaxes(Cm, -1, -2)) / 2
+        band_t, band_g = _band_from_blocks(h, beta, Cm, m, bs)
+        nb = band_g.shape[1]
+        for mat, band in ((tG, band_t), (G, band_g)):
+            for d in range(nb):
+                want = np.diagonal(mat, -d, axis1=1, axis2=2)
+                np.testing.assert_allclose(band[:, d, :M - d], want,
+                                           atol=1e-14)
+            # nothing below the stored band
+            assert np.max(np.abs(np.tril(mat, -nb))) == 0.0
+
+
+def test_band_truncation_equals_principal_submatrix():
+    # lag tests slice the SAME band arrays: the slice must equal the band
+    # of the leading principal submatrix
+    from krylov_robustness_tpu.updates.trace_update import _band_from_blocks
+
+    rng = np.random.default_rng(13)
+    bs, m, batch = 2, 9, 3
+    h = rng.standard_normal((m, batch, 2 * bs, bs))
+    beta = rng.standard_normal((m, batch, bs, bs))
+    Cm = rng.standard_normal((batch, bs, bs))
+    from krylov_robustness_tpu.updates.trace_update import (
+        _eigvals_banded_batch,
+    )
+
+    band_t_full, band_g_full = _band_from_blocks(h, beta, Cm, m, bs)
+    mp = 5
+    band_t_trunc, band_g_trunc = _band_from_blocks(h, beta, Cm, mp, bs)
+    Mp = mp * bs
+    # raw arrays may differ in the LAPACK-unreferenced tail positions
+    # (col+d >= Mp); the contract is that the sliced full band yields the
+    # principal submatrix's spectrum
+    for full, trunc in ((band_t_full, band_t_trunc),
+                        (band_g_full, band_g_trunc)):
+        np.testing.assert_allclose(
+            _eigvals_banded_batch(np.ascontiguousarray(full[:, :, :Mp])),
+            _eigvals_banded_batch(trunc),
+            atol=1e-12,
+        )
