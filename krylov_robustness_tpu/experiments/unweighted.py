@@ -58,13 +58,13 @@ def _intersections(gkb: np.ndarray, miobi: np.ndarray, eigenv: np.ndarray):
     return [len(a & b), len(a & c), len(b & c), len(a & b & c)]
 
 
-def gkb_method_label(cfg: UnweightedConfig) -> str:
-    """Method label for the GKB rows. Non-default search spaces get a
-    ``_Q{Q}`` suffix so large-Q reruns (the full-candidate-set regime of
-    ``krylov_miobi.m:43-52``) land as DISTINCT golden rows next to the
-    Q=250 paper-protocol rows instead of overwriting them."""
+def gkb_method_label(cfg: UnweightedConfig, gkb_only: bool = False) -> str:
+    """Method label for the GKB rows. GKB-only reruns at non-default search
+    spaces get a ``_Q{Q}`` suffix so large-Q reruns (the full-candidate-set
+    regime of ``krylov_miobi.m:43-52``) land as DISTINCT golden rows next
+    to the Q=250 paper-protocol rows instead of overwriting them."""
     base = f"GREEDY_KRYLOV_{cfg.mode.upper()}"
-    return base + (f"_Q{cfg.Q}" if cfg.Q != 250 else "")
+    return base + (f"_Q{cfg.Q}" if gkb_only and cfg.Q != 250 else "")
 
 
 def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
@@ -118,13 +118,14 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     )
     t_gkb = timer.lap() + time_centrality
     log.append(
-        method=gkb_method_label(cfg), dataset=name, n=n, m=m,
+        method=gkb_method_label(cfg, gkb_only), dataset=name, n=n, m=m,
         searchspace_size=Q + cfg.k, centrality_order=cfg.order, time=t_gkb,
         tr_variation=res.rob_variation / trexp, budget_size=cfg.k,
     )
     if gkb_only:
         if verbose:
-            print(f"  {gkb_method_label(cfg)}={res.rob_variation / trexp:.4e}")
+            print(f"  {gkb_method_label(cfg, gkb_only)}="
+                  f"{res.rob_variation / trexp:.4e}")
         return {"greedy": res, "trexp": trexp, "nrm": nrm}
 
     # ---- MIOBI (rescored) --------------------------------------------------
@@ -217,13 +218,13 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
     for coll, name in names:
         # resume check: EIGENV is logged last in full runs; gkb-only runs
         # complete once their (Q-suffixed) GKB row exists
-        done_marker = gkb_method_label(cfg) if gkb_only else "EIGENV"
+        done_marker = gkb_method_label(cfg, gkb_only) if gkb_only else "EIGENV"
         if log.has(method=done_marker, dataset=name):
             continue
         A = load_misc(name) if coll == "misc" else load_transport(name)
         # per-step greedy state survives a killed run (SURVEY.md §5.3):
         # hour-scale graphs (Vermont, Hawaii, ...) resume mid-sweep
-        q_tag = f"_Q{cfg.Q}" if cfg.Q != 250 else ""
+        q_tag = f"_Q{cfg.Q}" if gkb_only and cfg.Q != 250 else ""
         ckpt = GreedyCheckpoint(
             ckpt_dir / f"greedy_{cfg.mode}_{name}{q_tag}.json",
             fingerprint={"mode": cfg.mode, "k": cfg.k, "Q": cfg.Q,
