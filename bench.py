@@ -31,12 +31,54 @@ round-trip the relay).
 """
 
 import json
+import os
+import signal
 import sys
 import time
+from contextlib import contextmanager
 
 import numpy as np
 
 HBM_GBPS = 819.0  # v5e
+
+
+@contextmanager
+def competing_queues_paused():
+    """SIGSTOP this repo's own golden-suite queue processes for the timed
+    region (the chip is timeshared: a concurrent greedy run halves
+    throughput readings — round-2 finding, scripts/probe_kernel_clean.py
+    --pause-pid generalized). Matches only our experiment CLI's cmdline;
+    always resumes in finally."""
+    pids = []
+    if os.environ.get("KRT_BENCH_NO_PAUSE"):
+        yield
+        return
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == os.getpid():
+            continue
+        try:
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode(
+                errors="replace")
+        except OSError:
+            continue
+        if "krylov_robustness_tpu.experiments" in cmd and "--tpu" in cmd:
+            pids.append(int(pid))
+    for p in pids:
+        try:
+            os.kill(p, signal.SIGSTOP)
+        except OSError:
+            pass
+    if pids:
+        print(f"bench: paused competing queue pids {pids}", file=sys.stderr)
+        time.sleep(3)  # let in-flight device work drain
+    try:
+        yield
+    finally:
+        for p in pids:
+            try:
+                os.kill(p, signal.SIGCONT)
+            except OSError:
+                pass
 
 
 def build_graph():
@@ -125,42 +167,47 @@ def main():
                 best = min(best, (time.time() - t0) / iters)
             return best, acc
 
-    # --- XLA COO baseline (in-jit chain) -----------------------------------
-    coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
-    t_coo, _ = timed(coo, "xla-coo")
+    # --- timed region: competing queue paused ------------------------------
+    with competing_queues_paused():
+        coo = CooMatrix.from_scipy(Ap, dtype=jnp.float32)
+        t_coo, _ = timed(coo, "xla-coo")  # XLA COO baseline (in-jit chain)
 
-    rows = [("xla_coo", t_coo, 0.0, None)]
-    t_best = t_coo
-    if on_tpu:
-        variants = [
-            ("flat_f32", lambda: BsrOperator(Ap, dtype=jnp.float32), None),
-            ("super_bf16x2_512x256",
-             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x2",
-                                      tile=(512, 256)), (512, 256)),
-            ("super_bf16x3_512x256",
-             lambda: SuperBsrOperator(Ap, dtype=jnp.float32, mode="bf16x3",
-                                      tile=(512, 256)), (512, 256)),
-        ]
-        for tag, make, tile in variants:
-            try:
-                op = make()
-                dt, acc = timed(op, tag)
-            except Exception as e:  # storage/compile limits on odd graphs
-                print(f"bench: {tag} skipped ({e})", file=sys.stderr)
-                continue
-            byt = None
-            if tile is not None:
-                tr, tc = tile
-                slab = np.asarray(op.meta[0])
-                switches = 1 + int(np.sum(slab[1:] != slab[:-1]))
-                byt = (op.ntiles * tr * tc * 2 + switches * tc * b * 6
-                       + op.n_pad * b * 4)
-            rows.append((tag, dt, acc, byt))
-            # accuracy gate: 1e-5 admits bf16x2 (~2^-18), whose error level
-            # equals the f32 trace-update convergence floor (32·eps_f32) —
-            # the production greedy scorer runs on exactly this kernel
-            if acc < 1e-5 and dt < t_best:
-                t_best = dt
+        rows = [("xla_coo", t_coo, 0.0, None)]
+        t_best = t_coo
+        if on_tpu:
+            variants = [
+                ("flat_f32", lambda: BsrOperator(Ap, dtype=jnp.float32),
+                 None),
+                ("super_bf16x2_512x256",
+                 lambda: SuperBsrOperator(Ap, dtype=jnp.float32,
+                                          mode="bf16x2",
+                                          tile=(512, 256)), (512, 256)),
+                ("super_bf16x3_512x256",
+                 lambda: SuperBsrOperator(Ap, dtype=jnp.float32,
+                                          mode="bf16x3",
+                                          tile=(512, 256)), (512, 256)),
+            ]
+            for tag, make, tile in variants:
+                try:
+                    op = make()
+                    dt, acc = timed(op, tag)
+                except Exception as e:  # storage/compile limits on odd graphs
+                    print(f"bench: {tag} skipped ({e})", file=sys.stderr)
+                    continue
+                byt = None
+                if tile is not None:
+                    tr, tc = tile
+                    slab = np.asarray(op.meta[0])
+                    switches = 1 + int(np.sum(slab[1:] != slab[:-1]))
+                    byt = (op.ntiles * tr * tc * 2 + switches * tc * b * 6
+                           + op.n_pad * b * 4)
+                rows.append((tag, dt, acc, byt))
+                # accuracy gate: 1e-5 admits bf16x2 (~2^-18), whose error
+                # level equals the f32 trace-update convergence floor
+                # (32·eps_f32) — the production greedy scorer runs on
+                # exactly this kernel
+                if acc < 1e-5 and dt < t_best:
+                    t_best = dt
 
     print(f"{'variant':<24}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>11}"
           f"{'MB':>8}{'SoL ms':>8}", file=sys.stderr)
