@@ -93,7 +93,15 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     # funm.dense.trace_fun_difference_eigs.
     f32 = jnp.dtype(dtype).itemsize == 4
     sigma = lognrm if (f32 and lognrm > 20.0) or lognrm > 600.0 else 0.0
-    trexp = trace_exp(M, sigma=sigma)
+    if on_tpu:
+        # scalar normalizer on the host f64 lane: a device evaluation costs
+        # one fresh compile + ~34 tunnel dispatches per graph (minutes of
+        # queue time each) for a single stochastic scalar
+        from ..funm.trace import trace_exp_host
+
+        trexp = trace_exp_host(A, sigma=sigma)
+    else:
+        trexp = trace_exp(M, sigma=sigma)
     timer = Timer()
     centrality = (
         compute_centrality_host(A, cfg.centrality)
@@ -269,8 +277,10 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
             from ..funm.normest import normest2_host
             from ..graphs.centrality import compute_centrality_host
 
+            from ..funm.trace import trace_exp_host
+
             nrm = float(np.exp(float(normest2_host(A, tol=1e-2))))
-            trexp = trace_exp(M)
+            trexp = trace_exp_host(A)
             t_cent = time.perf_counter()
             centrality = compute_centrality_host(A, "eig")
             t_cent = time.perf_counter() - t_cent

@@ -124,6 +124,77 @@ def mc_trace(
     return float(jnp.real(tr_new)) if is_real else tr_new, res, it + 1
 
 
+def mc_trace_host(op, n: int, tol: float = 1e-3, maxit: int = 10,
+                  m_probe: int = 10, seed: int = 0):
+    """Host (numpy f64) twin of :func:`mc_trace` — same deflated-Hutchinson
+    protocol (``mc_trace.m:42-58``: per outer iteration m exact deflation
+    directions + an m-probe remainder, relative-change stop). For TPU
+    sessions the trace normalizer is a single scalar whose device
+    evaluation costs one fresh compile + ~34 tunnel dispatches per graph;
+    the host lane computes it in f64 in seconds (same split as
+    compute_centrality_host)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    K = max(-(-maxit // (3 * m_probe)), 1)
+    K = min(K, max(-(-n // m_probe), 1))
+    Qacc = np.zeros((n, 0))
+    tr = 0.0
+    tr_old = 0.0
+    res = np.inf
+    hits = 0
+    need_hits = 1 if tol >= 1e-4 else 2
+    tr_new = 0.0
+    for it in range(K):
+        S = rng.choice([-1.0, 1.0], size=(n, m_probe))
+        G = rng.choice([-1.0, 1.0], size=(n, m_probe))
+
+        def defl(x):
+            x = x - Qacc @ (Qacc.T @ x)
+            y = op(x)
+            return y - Qacc @ (Qacc.T @ y)
+
+        Y = defl(S)
+        Q, R = np.linalg.qr(Y)
+        rdiag = np.abs(np.diagonal(R))
+        keep = rdiag > 100 * np.finfo(np.float64).eps * max(
+            rdiag.max(initial=0.0), 1e-300)
+        Q = Q[:, keep]
+        tr = tr + np.trace(Q.T @ defl(Q))
+        Qacc = np.concatenate([Qacc, Q], axis=1)
+        tr_new = tr + np.trace(G.T @ defl(G)) / m_probe
+        res = abs(tr_new - tr_old) / max(abs(tr_new), abs(tr_old), 1e-300)
+        hits = hits + 1 if res < tol else 0
+        if hits >= need_hits:
+            break
+        tr_old = tr_new
+    return float(tr_new), res, it + 1
+
+
+def trace_exp_host(A_scipy, tol: float = 1e-4, maxit: int = 1000,
+                   m_probe: int = 10, sigma: float = 0.0,
+                   seed: int = 0) -> float:
+    """Host-lane trace(exp(A − σI)) (reference ``trace_exp.m`` protocol):
+    operator action via scipy's Al-Mohy–Higham ``expm_multiply`` — the same
+    algorithm family as :mod:`.expmv` — in f64 on the host. Used by TPU
+    experiment sessions for the scalar normalizer (see
+    :func:`mc_trace_host`)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    A = sp.csr_matrix(A_scipy).astype(float)
+    n = A.shape[0]
+    if sigma:
+        A = (A - sigma * sp.identity(n, format="csr")).tocsr()
+
+    def op(x):
+        return spla.expm_multiply(A, x)
+
+    tr, _, _ = mc_trace_host(op, n, tol=tol, maxit=maxit, m_probe=m_probe,
+                             seed=seed)
+    return tr
+
+
 def trace_exp(A, tol: float = 1e-4, maxit: int = 1000, key=None,
               plan: ExpmvPlan | None = None, m_probe: int = 10,
               sigma: float = 0.0):

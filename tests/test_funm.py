@@ -253,3 +253,18 @@ def test_greedy_guard_warns_on_nonfinite_scores():
         ok = _guard_scores(scores, 0, "toy")
     assert not ok
     assert _guard_scores(np.array([1.0, 2.0]), 1, "toy")
+
+
+def test_trace_exp_host_matches_dense_and_shift_invariance():
+    # host f64 lane (TPU sessions' normalizer): same protocol, scipy-backed
+    # expmv action; check vs dense oracle and sigma consistency
+    from krylov_robustness_tpu.funm.trace import trace_exp_host
+
+    A = random_graph(220, 0.04, seed=21)
+    dense = float(np.sum(np.exp(np.linalg.eigvalsh(A.toarray()))))
+    est = trace_exp_host(A, tol=1e-6)
+    assert abs(est - dense) / dense < 1e-5
+    sig = 2.5
+    est_s = trace_exp_host(A, tol=1e-6, sigma=sig)
+    dense_s = dense * np.exp(-sig)
+    assert abs(est_s - dense_s) / dense_s < 1e-5
