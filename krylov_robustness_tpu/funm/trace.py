@@ -174,16 +174,38 @@ def mc_trace_host(op, n: int, tol: float = 1e-3, maxit: int = 10,
 def trace_exp_host(A_scipy, tol: float = 1e-4, maxit: int = 1000,
                    m_probe: int = 10, sigma: float = 0.0,
                    seed: int = 0) -> float:
-    """Host-lane trace(exp(A − σI)) (reference ``trace_exp.m`` protocol):
-    operator action via scipy's Al-Mohy–Higham ``expm_multiply`` — the same
-    algorithm family as :mod:`.expmv` — in f64 on the host. Used by TPU
-    experiment sessions for the scalar normalizer (see
-    :func:`mc_trace_host`)."""
+    """Host-lane trace(exp(A − σI)) (reference ``trace_exp.m`` protocol) in
+    f64. Used by TPU experiment sessions for the scalar normalizer.
+
+    Two regimes:
+
+    * σ-shifted hub graphs (σ ≈ λmax ≳ 20, the f32 overflow cases): the
+      spectrum sum Σ e^{λi−σ} is dominated by the top eigenvalues, so a
+      top-k ``eigsh`` partial sum with the CERTIFIED tail bound
+      (n−k)·e^{λk−σ} converges to far below tol — and avoids
+      ``expm_multiply``'s scaling blow-up on ‖A−σI‖₁ ≈ 2σ (hundreds of
+      SpMV stages per probe on soc-Epinions1-scale graphs). Falls back to
+      the stochastic lane if the bound doesn't certify.
+    * otherwise: :func:`mc_trace_host` deflated Hutchinson over scipy's
+      Al-Mohy–Higham ``expm_multiply`` action (the reference protocol).
+    """
+    import numpy as np
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
     A = sp.csr_matrix(A_scipy).astype(float)
     n = A.shape[0]
+
+    if sigma > 20.0 and n > 50:
+        k = min(400, n - 2)
+        w = spla.eigsh(A, k=k, which="LA", return_eigenvectors=False,
+                       tol=1e-10)
+        w = np.sort(w)[::-1]
+        tr = float(np.sum(np.exp(w - sigma)))
+        tail = (n - k) * float(np.exp(w[-1] - sigma))
+        if tail < 1e-6 * tr:
+            return tr
+
     if sigma:
         A = (A - sigma * sp.identity(n, format="csr")).tocsr()
 
