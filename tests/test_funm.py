@@ -255,6 +255,37 @@ def test_greedy_guard_warns_on_nonfinite_scores():
     assert _guard_scores(np.array([1.0, 2.0]), 1, "toy")
 
 
+def test_trace_exp_host_certified_eigsh_lane_and_fallback():
+    # sigma-shifted hub regime (sigma ≈ λmax > 20): the top-k eigsh partial
+    # sum must be used when the tail bound (n−k)e^{λk−σ} certifies, and the
+    # stochastic lane must take over when it does not
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.funm.trace import trace_exp_host
+
+    # certified: decaying spectrum, k=n−2 covers all but a tail of weight
+    # ~e^{λmin−λmax} — the lane is deterministic, so agreement with the
+    # dense oracle is near machine precision
+    A = random_graph(100, 0.06, seed=7)
+    lam = np.linalg.eigvalsh(A.toarray())
+    A = A * (25.0 / lam[-1])
+    lam = lam * (25.0 / lam[-1])
+    sig = float(lam[-1])
+    dense = float(np.sum(np.exp(lam - sig)))
+    est = trace_exp_host(A, sigma=sig)
+    assert abs(est - dense) / dense < 1e-8
+
+    # not certified: near-flat spectrum (diagonal, values within 1 of sigma)
+    # → tail bound ~e^{-1}·(n−k) is O(1%) of the trace → stochastic
+    # fallback on the shifted operator (exact for diagonal operators once
+    # the Hutchinson remainder sees the identity-like complement)
+    d = 25.0 - np.linspace(0.0, 1.0, 60)
+    D = sp.diags(d).tocsr()
+    dense_d = float(np.sum(np.exp(d - 25.0)))
+    est_d = trace_exp_host(D, sigma=25.0, tol=1e-6)
+    assert abs(est_d - dense_d) / dense_d < 1e-3
+
+
 def test_trace_exp_host_matches_dense_and_shift_invariance():
     # host f64 lane (TPU sessions' normalizer): same protocol, scipy-backed
     # expmv action; check vs dense oracle and sigma consistency
