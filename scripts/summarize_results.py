@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Consolidate the golden CSVs into paper-shaped markdown tables.
+
+Emits ``results/TABLES.md`` with one section per reference results table
+(arXiv:2303.04971; mapping in the reference ``README.md:17-31``):
+
+* Table 2 — unweighted break (``Tests/test_unweighted_break.m``): the 22
+  roster graphs, GKB/MIOBI/EIGENV tr_variation + wall times, plus any
+  large-Q GKB rerun rows (``GREEDY_KRYLOV_BREAK_Q{Q}`` labels).
+* Table 3 — unweighted make (``Tests/test_unweighted_make.m``).
+* Figures 1-4 — budget-sweep coverage matrix (budgets × Q per transport).
+* Tables 5-6 — weighted IPM scores per (country, method, f, hessian).
+
+Sources: ``results/`` (CPU f64 goldens) and ``results_tpu/`` (TPU f32 with
+spectral-shift scoring). For roster graphs present in both, the CPU f64
+value is shown and the TPU value noted; platform is tagged per row. The
+latest dated CSV wins within a directory (keyed same-day resume already
+dedupes within a file — last row per key is current).
+"""
+
+from __future__ import annotations
+
+import csv
+import re
+import sys
+from collections import OrderedDict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from krylov_robustness_tpu.graphs.io import (  # noqa: E402
+    BUDGET_PAPER_SET,
+    MISC_PAPER_SET,
+    TRANSPORT_PAPER_SET,
+)
+
+ROSTER = [("Misc", d) for d in MISC_PAPER_SET] + [
+    ("Transport", d) for d in TRANSPORT_PAPER_SET
+]
+
+
+def load_rows(dirname: str, stem: str) -> list[dict]:
+    """All rows from every dated ``results_{stem}_*.csv`` in dirname,
+    oldest date first (so later dates override on key collisions)."""
+    out = []
+    for path in sorted((REPO / dirname).glob(f"results_{stem}_*.csv")):
+        if not re.fullmatch(
+                re.escape(f"results_{stem}_") + r"\d{4}-\d{2}-\d{2}\.csv",
+                path.name):
+            continue  # e.g. the *_intersections_ tables share the prefix
+        with open(path) as fh:
+            for row in csv.DictReader(fh):
+                row["_platform"] = "tpu-f32" if "tpu" in dirname else "cpu-f64"
+                out.append(row)
+    return out
+
+
+def latest_by(rows: list[dict], *keys: str) -> "OrderedDict":
+    d: OrderedDict = OrderedDict()
+    for r in rows:
+        d[tuple(r[k] for k in keys)] = r
+    return d
+
+
+def fmt(x, nd=4):
+    try:
+        return f"{float(x):.{nd}e}" if abs(float(x)) < 1e-2 else f"{float(x):.{nd}f}"
+    except (TypeError, ValueError):
+        return "—"
+
+
+def fmt_t(x):
+    try:
+        return f"{float(x):.1f}"
+    except (TypeError, ValueError):
+        return "—"
+
+
+def unweighted_table(mode: str, fh):
+    label = f"GREEDY_KRYLOV_{mode.upper()}"
+    cpu = latest_by(load_rows("results", f"unweighted_{mode}"),
+                    "method", "dataset")
+    tpu = latest_by(load_rows("results_tpu", f"unweighted_{mode}"),
+                    "method", "dataset")
+
+    print(f"\n## Table {'2' if mode == 'break' else '3'} — unweighted "
+          f"{mode} (k=50, Q=250, tol=1e-6·exp(‖A‖))\n", file=fh)
+    print("| dataset | n | m | platform | GKB Δtr/tr | MIOBI | EIGENV | "
+          "GKB s | MIOBI s | EIGENV s | large-Q rows |", file=fh)
+    print("|---|---|---|---|---|---|---|---|---|---|---|", file=fh)
+    done = 0
+    for _coll, name in ROSTER:
+        src, tag = (cpu, "cpu-f64") if (label, name) in cpu else (tpu, "tpu-f32")
+        g = src.get((label, name))
+        mi = src.get(("MIOBI", name))
+        ev = src.get(("EIGENV", name))
+        if g is None:
+            print(f"| {name} | — | — | — | *(pending)* | | | | | | |",
+                  file=fh)
+            continue
+        done += 1
+        bigq = [
+            f"{k[0].split('_Q')[1]}→{fmt(r['tr_variation'])}"
+            for d, s in (("c", cpu), ("t", tpu))
+            for k, r in s.items()
+            if k[1] == name and k[0].startswith(label + "_Q")
+        ]
+        print(
+            f"| {name} | {g['n']} | {g['m']} | {tag} "
+            f"| {fmt(g['tr_variation'])} "
+            f"| {fmt(mi['tr_variation']) if mi else '—'} "
+            f"| {fmt(ev['tr_variation']) if ev else '—'} "
+            f"| {fmt_t(g['time'])} | {fmt_t(mi['time']) if mi else '—'} "
+            f"| {fmt_t(ev['time']) if ev else '—'} "
+            f"| {'; '.join(bigq) if bigq else ''} |",
+            file=fh,
+        )
+    print(f"\n**{done}/22 roster graphs.** Negative is better for break, "
+          "positive for make; σ-shifted f32 rows are in e^{-σ} units "
+          "(ratios comparable within a row).", file=fh)
+
+
+def budget_matrix(fh):
+    print("\n## Figures 1–4 — budget sweeps (k=10..100, Q∈{50,250,1000})\n",
+          file=fh)
+    for mode in ("break", "make"):
+        rows = load_rows("results", f"unweighted_{mode}_budget") + load_rows(
+            "results_tpu", f"unweighted_{mode}_budget")
+        per = {}
+        for r in rows:
+            per.setdefault(r["dataset"], set()).add(
+                (r["searchspace_size"], r["budget_size"]))
+        print(f"**{mode}**: ", end="", file=fh)
+        cells = []
+        for name in BUDGET_PAPER_SET:
+            got = per.get(name, set())
+            qs = len({q for q, _ in got})
+            cells.append(f"{name} {qs} Q × {len(got) // max(qs, 1)} k"
+                         if got else f"{name} *(pending)*")
+        print("; ".join(cells), file=fh)
+
+
+def weighted_tables(fh):
+    print("\n## Tables 5–6 — weighted IPM (−fval/tr(f(A))·100, 10 power "
+          "grids × {tuning, rewire, add})\n", file=fh)
+    for fun in ("exp", "sinh", "cosh"):
+        for hess in (False, True):
+            stem = f"weighted_{fun}_{'hessian' if hess else 'lbfgs'}"
+            rows = latest_by(load_rows("results", stem), "dataset", "method")
+            if not rows:
+                print(f"- `{stem}`: *(pending)*", file=fh)
+                continue
+            countries = sorted({k[0] for k in rows})
+            print(f"\n### {fun} / {'exact Hessian' if hess else 'L-BFGS'} "
+                  f"({len(countries)} countries)\n", file=fh)
+            print("| country | n | tuning % (it) | rewire % (it) | "
+                  "add % (it) |", file=fh)
+            print("|---|---|---|---|---|", file=fh)
+            for c in countries:
+                cells = []
+                n = "—"
+                for meth in ("tuning", "rewire", "add"):
+                    r = rows.get((c, meth))
+                    if r is None:
+                        cells.append("—")
+                    else:
+                        n = r["n"]
+                        cells.append(f"{float(r['score_pct']):.2f} "
+                                     f"({r['iterations']})")
+                print(f"| {c} | {n} | " + " | ".join(cells) + " |", file=fh)
+
+
+def main():
+    out = REPO / "results" / "TABLES.md"
+    with open(out, "w") as fh:
+        print("# Consolidated golden tables (generated by "
+              "`scripts/summarize_results.py`)\n", file=fh)
+        print("Regenerate with `python scripts/summarize_results.py` after "
+              "any golden suite run.", file=fh)
+        unweighted_table("break", fh)
+        unweighted_table("make", fh)
+        budget_matrix(fh)
+        weighted_tables(fh)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
