@@ -63,6 +63,9 @@ def main(argv=None):
     u.add_argument("--gkb-only", action="store_true",
                    help="run only the GREEDY_KRYLOV method (large-Q reruns "
                    "next to existing Q=250 baselines)")
+    u.add_argument("--force", action="store_true",
+                   help="regenerate rows even if the resume check finds "
+                   "them complete (keyed in-place replace)")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")
@@ -106,7 +109,7 @@ def main(argv=None):
         run_paper_suite(cfg, out_dir=args.out_dir,
                         collections=tuple(args.collections),
                         datasets=args.datasets or None, dtype=dtype,
-                        gkb_only=args.gkb_only)
+                        gkb_only=args.gkb_only, force=args.force)
     elif args.cmd == "budget":
         from .unweighted import run_budget_sweep
 

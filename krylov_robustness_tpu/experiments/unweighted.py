@@ -191,8 +191,13 @@ def _misc_path_exists(name: str) -> bool:
 def run_paper_suite(cfg: UnweightedConfig | None = None,
                     out_dir: str = "results", collections=("misc", "transport"),
                     datasets: list[str] | None = None, dtype=jnp.float64,
-                    gkb_only: bool = False):
-    """Full Table-2/3 protocol over the paper's 22 unweighted graphs."""
+                    gkb_only: bool = False, force: bool = False):
+    """Full Table-2/3 protocol over the paper's 22 unweighted graphs.
+
+    ``force=True`` bypasses the completed-row resume skip so an existing
+    golden row can be regenerated in place (keyed replace) — e.g. to
+    refresh wall times after a performance fix without touching the
+    protocol."""
     cfg = cfg or UnweightedConfig()
     log = ResultLog(out_dir, f"unweighted_{cfg.mode}",
                     key=("method", "dataset"))
@@ -227,7 +232,7 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
         # resume check: EIGENV is logged last in full runs; gkb-only runs
         # complete once their (Q-suffixed) GKB row exists
         done_marker = gkb_method_label(cfg, gkb_only) if gkb_only else "EIGENV"
-        if log.has(method=done_marker, dataset=name):
+        if not force and log.has(method=done_marker, dataset=name):
             continue
         A = load_misc(name) if coll == "misc" else load_transport(name)
         # per-step greedy state survives a killed run (SURVEY.md §5.3):

@@ -93,6 +93,38 @@ def test_resultlog_keyed_resume(tmp_path):
     assert len(log3) == 2 and not log3.has(dataset="a", method="x")
 
 
+def test_run_paper_suite_force_rerun(tmp_path, monkeypatch):
+    """--force bypasses the completed-row resume skip and regenerates rows
+    in place (keyed replace) — the wall-time-refresh path."""
+    import krylov_robustness_tpu.experiments.unweighted as uw
+
+    A = small_graph()
+    calls = {"n": 0}
+
+    def fake_load(name):
+        calls["n"] += 1
+        return A
+
+    monkeypatch.setattr(uw, "load_transport", fake_load)
+    monkeypatch.setattr(uw, "_misc_path_exists", lambda name: False)
+    cfg = UnweightedConfig(k=2, Q=10, mode="break", miobi_eigs=8)
+
+    uw.run_paper_suite(cfg, out_dir=tmp_path, datasets=["mock"])
+    assert calls["n"] == 1
+    log = ResultLog(tmp_path, "unweighted_break", key=("method", "dataset"))
+    assert len(log) == 3
+
+    # resume skip: dataset complete -> loader never invoked
+    uw.run_paper_suite(cfg, out_dir=tmp_path, datasets=["mock"])
+    assert calls["n"] == 1
+
+    # force: reruns and keyed-replaces (no duplicate rows)
+    uw.run_paper_suite(cfg, out_dir=tmp_path, datasets=["mock"], force=True)
+    assert calls["n"] == 2
+    log = ResultLog(tmp_path, "unweighted_break", key=("method", "dataset"))
+    assert len(log) == 3
+
+
 def test_resultlog_seed_ignores_sibling_suites(tmp_path):
     """Regression (round-1 data-integrity bug, utils/logging.py:45): suite
     `foo` must never be seeded from `foo_bar`/`foo_intersections` artifacts
