@@ -383,11 +383,23 @@ class SuperBsrOperator:
                  jnp.asarray(self._entry_offset)].astype(jnp.float32)
         )
 
+    # scoped-VMEM ceiling: the widened bf16 pass materializes an f32
+    # (tile_r, terms·b) product per grid step, which at b=2048/terms=2 is
+    # ~18 MB against the 16 MB scoped-vmem limit (observed: Q=1000 greedy
+    # scoring, batch 2·Q → compile-time vmem OOM by 80 KB). Batches wider
+    # than MAX_B run as independent column chunks — same MXU work, one
+    # extra A-tile DMA stream per chunk (negligible at these densities).
+    MAX_B = 1024
+
     # -- linear algebra ------------------------------------------------------
     def matmul(self, x: jax.Array) -> jax.Array:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[:, None]
+        if x.shape[1] > self.MAX_B:
+            return jnp.concatenate(
+                [self.matmul(x[:, s:s + self.MAX_B])
+                 for s in range(0, x.shape[1], self.MAX_B)], axis=1)
         n, b = x.shape
         b_pad = _round_up(b, BLK)
         compute = jnp.float32 if self.mode.startswith("bf16x") else self.dtype

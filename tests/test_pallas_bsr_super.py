@@ -45,6 +45,25 @@ def test_super_bsr_bf16_split_modes():
     assert SuperBsrOperator(Aw, dtype=jnp.float32, interpret=True).mode == "f32"
 
 
+def test_super_bsr_wide_batch_chunking():
+    """Batches wider than MAX_B run as column chunks (the Q=1000 greedy
+    scoring width 2·Q would otherwise exceed the 16 MB scoped-vmem limit
+    in the widened bf16 pass); values must match the unchunked product."""
+    A = banded_graph(n=300, max_off=30, extra=60, weighted=False)
+    rng = np.random.default_rng(4)
+    op = SuperBsrOperator(A, dtype=jnp.float32, interpret=True, mode="bf16x3")
+    old = SuperBsrOperator.MAX_B
+    try:
+        SuperBsrOperator.MAX_B = 256  # force 3 chunks at b=700
+        x = rng.standard_normal((300, 700)).astype(np.float32)
+        got = np.asarray(op @ jnp.asarray(x))
+        ref = A @ x
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-7
+    finally:
+        SuperBsrOperator.MAX_B = old
+
+
 def test_super_bsr_nonmultiple_n_and_vector():
     A = banded_graph(n=333, max_off=60, extra=100)  # n_pad rounds to 512
     op = SuperBsrOperator(A, dtype=jnp.float64, interpret=True, mode="f32")
