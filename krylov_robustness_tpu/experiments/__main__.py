@@ -66,6 +66,9 @@ def main(argv=None):
     u.add_argument("--force", action="store_true",
                    help="regenerate rows even if the resume check finds "
                    "them complete (keyed in-place replace)")
+    u.add_argument("--order", choices=["min", "mult"], default="min",
+                   help="candidate-ranking order for find_top_(missing_)edges "
+                   "(reference 'min'/'mult' tie semantics)")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")
@@ -105,7 +108,7 @@ def main(argv=None):
         from .unweighted import run_paper_suite
 
         cfg = UnweightedConfig(mode=args.mode, k=args.k, Q=args.Q,
-                               tol=args.tol)
+                               tol=args.tol, order=args.order)
         run_paper_suite(cfg, out_dir=args.out_dir,
                         collections=tuple(args.collections),
                         datasets=args.datasets or None, dtype=dtype,

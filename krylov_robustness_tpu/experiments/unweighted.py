@@ -64,7 +64,15 @@ def gkb_method_label(cfg: UnweightedConfig, gkb_only: bool = False) -> str:
     regime of ``krylov_miobi.m:43-52``) land as DISTINCT golden rows next
     to the Q=250 paper-protocol rows instead of overwriting them."""
     base = f"GREEDY_KRYLOV_{cfg.mode.upper()}"
-    return base + (f"_Q{cfg.Q}" if gkb_only and cfg.Q != 250 else "")
+    if not gkb_only:
+        return base
+    if cfg.Q != 250:
+        base += f"_Q{cfg.Q}"
+    if cfg.order != "min":
+        # candidate-order variants (e.g. 'mult' = global centrality-product
+        # ranking, find_top_missing_edges.m:20-54) land as distinct rows too
+        base += f"_{cfg.order}"
+    return base
 
 
 def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
@@ -237,7 +245,9 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
         A = load_misc(name) if coll == "misc" else load_transport(name)
         # per-step greedy state survives a killed run (SURVEY.md §5.3):
         # hour-scale graphs (Vermont, Hawaii, ...) resume mid-sweep
-        q_tag = f"_Q{cfg.Q}" if gkb_only and cfg.Q != 250 else ""
+        # variant runs (large-Q / non-default order) checkpoint separately
+        q_tag = gkb_method_label(cfg, gkb_only).removeprefix(
+            f"GREEDY_KRYLOV_{cfg.mode.upper()}")
         ckpt = GreedyCheckpoint(
             ckpt_dir / f"greedy_{cfg.mode}_{name}{q_tag}.json",
             fingerprint={"mode": cfg.mode, "k": cfg.k, "Q": cfg.Q,

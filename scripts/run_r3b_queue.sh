@@ -13,6 +13,13 @@ cd "$(dirname "$0")/.."
 export KRT_PROFILE=1
 RUN() { echo "=== $* ($(date +%H:%M:%S))"; timeout 21600 python -u -m krylov_robustness_tpu.experiments --tpu --out-dir results_tpu "$@"; }
 
+# -- stage 0: redo of r3-queue work lost to the wide-batch scoped-vmem OOM
+#    (fixed in ops/pallas_bsr_super.py MAX_B chunking): the Q=1000 break
+#    reruns, and the ChicagoRegional break budget Q=1000 sweep (Q=50/250
+#    rows exist; the keyed resume runs only the missing sweep)
+RUN unweighted --mode break --Q 1000 --gkb-only --datasets Austin Birmingham Sydney Hawaii
+RUN budget --mode break --datasets ChicagoRegional
+
 # -- stage A: make-mode large-Q demonstrations
 RUN unweighted --mode make --Q 1000 --gkb-only --datasets as_735
 
