@@ -427,6 +427,14 @@ def trace_fun_update_batched(
     return TraceUpdateResult(delta=delta, iters=iters, converged=converged)
 
 
+# HBM ceiling for one scoring program, in candidate·row cells: the Lanczos
+# carry + SpMM buffers are O(batch·n) f32 arrays (~60 B/cell measured —
+# Birmingham full-E batch 20,913 × n 14,592 compiled to an 18.15 GB
+# allocation against 15.75 GB HBM). Full-candidate-set scoring
+# (krylov_miobi.m:43-52, the reference default) chunks the batch instead.
+MAX_SCORE_CELLS = 32_000_000
+
+
 def trace_fun_update_edges(
     A,
     edges: np.ndarray | jax.Array,
@@ -440,8 +448,29 @@ def trace_fun_update_edges(
 ) -> TraceUpdateResult:
     """Score all candidate edges at once: Δtrace for removing (sign=-1) or
     adding (sign=+1) each edge independently. The device-batched replacement
-    for the loop at ``krylov_miobi.m:76-125``."""
+    for the loop at ``krylov_miobi.m:76-125``. Batches whose Krylov state
+    would exceed HBM run as fixed-shape candidate chunks (last chunk padded
+    with a repeated edge so every chunk reuses one compiled program)."""
     edges = jnp.asarray(edges)
+    batch = int(edges.shape[0])
+    chunk = max(256, (int(MAX_SCORE_CELLS) // max(int(A.n), 1)) // 64 * 64)
+    if batch > chunk:
+        parts = []
+        for s in range(0, batch, chunk):
+            e = edges[s:s + chunk]
+            keep = int(e.shape[0])
+            if keep < chunk:
+                e = jnp.concatenate(
+                    [e, jnp.tile(e[:1], (chunk - keep, 1))], axis=0)
+            r = trace_fun_update_edges(
+                A, e, sign, fun=fun, tol=tol, rescale=rescale,
+                schedule=schedule, phases=phases, shift=shift)
+            parts.append((r, keep))
+        return TraceUpdateResult(
+            delta=jnp.concatenate([r.delta[:k] for r, k in parts]),
+            iters=jnp.concatenate([r.iters[:k] for r, k in parts]),
+            converged=jnp.concatenate([r.converged[:k] for r, k in parts]),
+        )
     U0 = edge_start_blocks(A.n, edges, A.dtype)
     B = edge_B(edges, sign, rescale, A.dtype)
     return trace_fun_update_batched(

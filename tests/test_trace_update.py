@@ -48,6 +48,29 @@ def test_edges_match_dense(sign):
     assert bool(np.all(np.asarray(res.converged)))
 
 
+def test_edges_chunked_matches_unchunked(monkeypatch):
+    """Full-candidate-set scoring chunks the batch when batch·n would blow
+    HBM (Birmingham/Sydney full-E OOM); chunked == unchunked, including the
+    padded final chunk."""
+    import krylov_robustness_tpu.updates.trace_update as tu
+
+    n = 150
+    A = random_graph(n, 0.06, seed=11)
+    M = CooMatrix.from_scipy(A)
+    iu, ju = np.nonzero(np.tril(A.toarray(), -1))
+    edges = np.stack([iu, ju], axis=1)[:700]  # 700 candidates
+
+    full = trace_fun_update_edges(M, edges, sign=-1.0, tol=1e-2)
+    # chunk = max(256, ...) -> 256 per chunk: 2 full chunks + padded tail
+    monkeypatch.setattr(tu, "MAX_SCORE_CELLS", 256 * n)
+    chunked = trace_fun_update_edges(M, edges, sign=-1.0, tol=1e-2)
+    np.testing.assert_allclose(np.asarray(chunked.delta),
+                               np.asarray(full.delta), rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(chunked.converged),
+                                  np.asarray(full.converged))
+    assert chunked.delta.shape == (700,)
+
+
 @pytest.mark.parametrize("fname,f_np", [
     ("sinh", np.sinh),
     ("cosh", np.cosh),
