@@ -108,8 +108,14 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
         from ..funm.trace import trace_exp_host
 
         trexp = trace_exp_host(A, sigma=sigma)
+        norm_lane = "host-f64"
     else:
         trexp = trace_exp(M, sigma=sigma)
+        norm_lane = f"device-{jnp.dtype(dtype).name}"
+    # units tag (JSONL-only; the CSV keeps the reference schema): rows of one
+    # dataset are unit-consistent iff they share trexp — the denominator of
+    # tr_variation. summarize_results errors on mixed tags per table row.
+    units = dict(norm_lane=norm_lane, sigma=sigma, trexp=trexp)
     timer = Timer()
     centrality = (
         compute_centrality_host(A, cfg.centrality)
@@ -136,7 +142,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     log.append(
         method=gkb_method_label(cfg, gkb_only), dataset=name, n=n, m=m,
         searchspace_size=Q + cfg.k, centrality_order=cfg.order, time=t_gkb,
-        tr_variation=res.rob_variation / trexp, budget_size=cfg.k,
+        tr_variation=res.rob_variation / trexp, budget_size=cfg.k, **units,
     )
     if gkb_only:
         if verbose:
@@ -155,7 +161,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     log.append(
         method="MIOBI", dataset=name, n=n, m=m, searchspace_size=m,
         centrality_order="--", time=t_miobi,
-        tr_variation=delta_miobi / trexp, budget_size=cfg.k,
+        tr_variation=delta_miobi / trexp, budget_size=cfg.k, **units,
     )
 
     # ---- EIGENV (rescored) --------------------------------------------------
@@ -166,7 +172,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     log.append(
         method="EIGENV", dataset=name, n=n, m=m, searchspace_size=cfg.k,
         centrality_order="mult", time=t_ev,
-        tr_variation=delta_ev / trexp, budget_size=cfg.k,
+        tr_variation=delta_ev / trexp, budget_size=cfg.k, **units,
     )
 
     inter = _intersections(res.edges, mi.edges, ev)
@@ -296,15 +302,18 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
 
             nrm = float(np.exp(float(normest2_host(A, tol=1e-2))))
             trexp = trace_exp_host(A)
+            norm_lane = "host-f64"
             t_cent = time.perf_counter()
             centrality = compute_centrality_host(A, "eig")
             t_cent = time.perf_counter() - t_cent
         else:
             nrm = float(np.exp(float(normest2(M, tol=1e-2))))
             trexp = trace_exp(M)
+            norm_lane = f"device-{jnp.dtype(dtype).name}"
             t_cent = time.perf_counter()
             centrality = compute_centrality(M, "eig")
             t_cent = time.perf_counter() - t_cent
+        units = dict(norm_lane=norm_lane, sigma=0.0, trexp=trexp)
         kmax = max(budgets)
         for Q in search_spaces:
             Qe = min(A.nnz // 2 - kmax, Q)
@@ -329,6 +338,7 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
                     centrality_order="min",
                     time=float(t_cent + cum_t[k - 1]),
                     tr_variation=float(cum[k - 1]) / trexp, budget_size=k,
+                    **units,
                 )
             out[(name, Q)] = res
         import jax

@@ -453,7 +453,11 @@ def trace_fun_update_edges(
     with a repeated edge so every chunk reuses one compiled program)."""
     edges = jnp.asarray(edges)
     batch = int(edges.shape[0])
-    chunk = max(256, (int(MAX_SCORE_CELLS) // max(int(A.n), 1)) // 64 * 64)
+    # chunk width under the cell budget, rounded down to a multiple of 64
+    # (but at least 64): no silent floor above the HBM ceiling — at
+    # n ≈ 2M a 64-wide chunk is the honest minimum program, and anything
+    # wider must fit MAX_SCORE_CELLS.
+    chunk = max(64, (int(MAX_SCORE_CELLS) // max(int(A.n), 1)) // 64 * 64)
     if batch > chunk:
         parts = []
         for s in range(0, batch, chunk):

@@ -56,8 +56,23 @@ class ResultLog:
             )
             seed = prior[-1] if prior else None
         if seed is not None and seed.exists():
-            with open(seed, newline="") as f:
-                self.rows = [dict(r) for r in csv.DictReader(f)]
+            # prefer the JSONL twin: it carries fields beyond the reference
+            # CSV schema (e.g. the norm_lane/trexp units tags), which must
+            # survive a day rollover; the CSV is the schema-exact rendering.
+            seed_jsonl = seed.with_suffix(".jsonl")
+            if self.key is not None and seed_jsonl.exists():
+                by_key: dict = {}
+                with open(seed_jsonl) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        r = json.loads(line)
+                        by_key[tuple(str(r.get(c)) for c in self.key)] = r
+                self.rows = list(by_key.values())
+            else:
+                with open(seed, newline="") as f:
+                    self.rows = [dict(r) for r in csv.DictReader(f)]
             if seed != self.csv_path and self.rows:
                 # materialize the carried-over rows in today's artifacts
                 with open(self.jsonl_path, "a") as f:

@@ -100,11 +100,13 @@ def unweighted_table(mode: str, fh):
                   file=fh)
             continue
         done += 1
+        # any variant-suffixed GKB row (large-Q and/or candidate order, e.g.
+        # _Q1000, _mult, _Q5000_mult) renders with its full suffix
         bigq = [
-            f"{k[0].split('_Q')[1]}→{fmt(r['tr_variation'])}"
+            f"{k[0].removeprefix(label + '_')}→{fmt(r['tr_variation'])}"
             for d, s in (("c", cpu), ("t", tpu))
             for k, r in s.items()
-            if k[1] == name and k[0].startswith(label + "_Q")
+            if k[1] == name and k[0].startswith(label + "_")
         ]
         print(
             f"| {name} | {g['n']} | {g['m']} | {tag} "
@@ -171,18 +173,84 @@ def weighted_tables(fh):
                 print(f"| {c} | {n} | " + " | ".join(cells) + " |", file=fh)
 
 
+def load_jsonl_rows(dirname: str, stem: str) -> list[dict]:
+    """All rows from every dated ``results_{stem}_*.jsonl`` — the JSONL twin
+    carries the units tags (norm_lane/sigma/trexp) beyond the CSV schema."""
+    import json
+
+    out = []
+    for path in sorted((REPO / dirname).glob(f"results_{stem}_*.jsonl")):
+        if not re.fullmatch(
+                re.escape(f"results_{stem}_") + r"\d{4}-\d{2}-\d{2}\.jsonl",
+                path.name):
+            continue
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    return out
+
+
+def check_units() -> list[str]:
+    """Mixed-normalizer-units detector (the round-3 defect class): within one
+    (directory, mode, dataset) group, every current row's ``trexp`` tag —
+    the denominator of tr_variation — must agree. A >1% spread means methods
+    are being compared in different units (the round-3 bug was ~13,070×).
+    Untagged (pre-round-4) rows can't be checked and are reported as such
+    only when they sit next to tagged rows."""
+    problems: list[str] = []
+    partial: list[str] = []
+    for dirname in ("results", "results_tpu"):
+        for mode in ("break", "make"):
+            rows = load_jsonl_rows(dirname, f"unweighted_{mode}")
+            cur: OrderedDict = OrderedDict()
+            for r in rows:
+                cur[(str(r.get("method")), str(r.get("dataset")))] = r
+            per_ds: dict[str, list] = {}
+            for (_meth, ds), r in cur.items():
+                per_ds.setdefault(ds, []).append(r)
+            for ds, rs in sorted(per_ds.items()):
+                vals = [float(r["trexp"]) for r in rs if "trexp" in r]
+                if len(vals) >= 2:
+                    lo, hi = min(vals), max(vals)
+                    if hi - lo > 1e-2 * max(abs(hi), abs(lo)):
+                        problems.append(
+                            f"{dirname}/{mode}/{ds}: trexp spread "
+                            f"[{lo:.6g}, {hi:.6g}] across "
+                            f"{len(vals)} tagged rows")
+                if vals and len(vals) < len(rs):
+                    partial.append(
+                        f"{dirname}/{mode}/{ds}: {len(rs) - len(vals)} "
+                        f"untagged row(s) next to tagged ones")
+    return problems + [f"(warn) {p}" for p in partial]
+
+
 def main():
+    issues = check_units()
+    hard = [p for p in issues if not p.startswith("(warn)")]
+    for p in issues:
+        print(("UNITS ERROR: " if p in hard else "UNITS ") + p,
+              file=sys.stderr)
     out = REPO / "results" / "TABLES.md"
     with open(out, "w") as fh:
         print("# Consolidated golden tables (generated by "
               "`scripts/summarize_results.py`)\n", file=fh)
         print("Regenerate with `python scripts/summarize_results.py` after "
               "any golden suite run.", file=fh)
+        if hard:
+            print("\n> **UNITS ERROR** — mixed-normalizer rows detected "
+                  "(see stderr); the affected datasets' method comparisons "
+                  "below are NOT in consistent units:\n>", file=fh)
+            for p in hard:
+                print(f"> - {p}", file=fh)
         unweighted_table("break", fh)
         unweighted_table("make", fh)
         budget_matrix(fh)
         weighted_tables(fh)
     print(f"wrote {out}")
+    if hard:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
