@@ -69,6 +69,13 @@ def main(argv=None):
     u.add_argument("--order", choices=["min", "mult"], default="min",
                    help="candidate-ranking order for find_top_(missing_)edges "
                    "(reference 'min'/'mult' tie semantics)")
+    u.add_argument("--rescore-every", type=int, default=1,
+                   help="candidate-score reuse period: full rescore every N "
+                   "greedy steps, fixed-size fresh subset otherwise "
+                   "(1 = reference protocol)")
+    u.add_argument("--rescore-frac", type=float, default=0.2,
+                   help="fraction of candidates scored fresh between full "
+                   "rescores")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")
@@ -108,7 +115,9 @@ def main(argv=None):
         from .unweighted import run_paper_suite
 
         cfg = UnweightedConfig(mode=args.mode, k=args.k, Q=args.Q,
-                               tol=args.tol, order=args.order)
+                               tol=args.tol, order=args.order,
+                               rescore_every=args.rescore_every,
+                               rescore_frac=args.rescore_frac)
         run_paper_suite(cfg, out_dir=args.out_dir,
                         collections=tuple(args.collections),
                         datasets=args.datasets or None, dtype=dtype,

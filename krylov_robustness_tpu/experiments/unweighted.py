@@ -136,7 +136,8 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
     res = greedy_krylov(
         A, cfg.k, Q, centrality, order=cfg.order, tol=tol_abs,
         mode=cfg.mode, dtype=dtype, checkpoint=checkpoint, dataset=name,
-        shift=sigma,
+        shift=sigma, rescore_every=cfg.rescore_every,
+        rescore_frac=cfg.rescore_frac,
     )
     t_gkb = timer.lap() + time_centrality
     log.append(

@@ -125,6 +125,90 @@ class _FrozenStructureMatrix:
         return E
 
 
+class _ShardedFrozenMatrix:
+    """Frozen-structure adapter over :class:`..parallel.spmm_sharded.
+    RowShardedMatrix` — the multi-device production backend (SURVEY.md §5.8,
+    §7 step 7). Same contract as :class:`_FrozenStructureMatrix`: fixed
+    sparsity (additions pre-allocated as explicit-zero slots), O(1) value
+    edits, so one compiled sharded scoring program serves all k greedy
+    steps. The operator row-partitions A over the mesh's 'rows' axis and
+    (on ≥4-device meshes) shards the candidate batch over 'cands'."""
+
+    def __init__(self, A: sp.spmatrix, extra_edges: np.ndarray | None,
+                 dtype=jnp.float64, mesh=None):
+        import jax
+
+        from ..parallel.mesh import make_mesh, make_mesh_2d
+        from ..parallel.spmm_sharded import RowShardedMatrix
+
+        if mesh is None:
+            nd = len(jax.devices())
+            if nd >= 4 and nd % 2 == 0:
+                # candidate axis first (round-3 ICI-model conclusion:
+                # nnz≈n graphs are gather-bound under row sharding)
+                mesh = make_mesh_2d(2, nd // 2)
+            else:
+                mesh = make_mesh(nd)
+        A = sp.csr_matrix(A, copy=True)
+        n = A.shape[0]
+        if extra_edges is not None and len(extra_edges):
+            e = np.asarray(extra_edges)
+            pattern = sp.coo_matrix(
+                (np.full(2 * len(e), 1e-300),
+                 (np.concatenate([e[:, 0], e[:, 1]]),
+                  np.concatenate([e[:, 1], e[:, 0]]))),
+                shape=(n, n),
+            )
+            A = (A + pattern.tocsr()).tocsr()
+        self.mat = RowShardedMatrix.from_scipy(
+            A, mesh, dtype=dtype,
+            batch_axis="cands" if "cands" in mesh.shape else None,
+        )
+        # (i, j) -> flat slot position, mirroring from_scipy's per-shard
+        # packing: entries row-sorted, contiguous runs per shard, slot =
+        # offset within the run, flat = shard·nnz_shard + slot.
+        C = sp.coo_matrix(A)
+        order = np.argsort(C.row, kind="stable")
+        rows, cols = C.row[order], C.col[order]
+        D = self.mat.mesh.shape[self.mat.axis]
+        rps = self.mat.rows_per_shard
+        shard_of = rows // rps
+        counts = np.bincount(shard_of, minlength=D)
+        nnz_shard = self.mat.rows_local.shape[0] // D
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = shard_of * nnz_shard + (np.arange(len(rows)) - starts[shard_of])
+        self._pos = {
+            (int(i), int(j)): int(p) for i, j, p in zip(rows, cols, flat)
+        }
+        if extra_edges is not None and len(extra_edges):
+            idx = self._edge_positions(np.asarray(extra_edges))
+            self.mat = dataclasses.replace(
+                self.mat, vals=self.mat.vals.at[jnp.asarray(idx)].set(0.0)
+            )
+
+    _edge_positions = _FrozenStructureMatrix._edge_positions
+    set_edge = _FrozenStructureMatrix.set_edge
+
+    @property
+    def operator(self):
+        return self.mat
+
+    def map_edges(self, E: np.ndarray) -> np.ndarray:
+        return E
+
+    def to_scipy(self) -> sp.csr_matrix:
+        rows = np.asarray(self.mat.rows)
+        cols = np.asarray(self.mat.cols)
+        vals = np.asarray(self.mat.vals)
+        n = self.mat.n_orig
+        # per-shard pad slots carry val 0 and are dropped with the zeros
+        out = sp.coo_matrix(
+            (vals, (rows, cols)), shape=(self.mat.n, self.mat.n)
+        ).tocsr()[:n, :n]
+        out.eliminate_zeros()
+        return out
+
+
 class _BandedAdapter:
     """Greedy-facing adapter over the RCM-permuted Pallas operator: maps
     original node ids through the permutation for scoring and edits."""
@@ -260,6 +344,9 @@ def greedy_krylov(
     dataset: str = "",
     backend: str = "auto",
     shift: float = 0.0,
+    mesh=None,
+    rescore_every: int = 1,
+    rescore_frac: float = 0.2,
 ) -> GreedyResult:
     """Adaptive-search-space greedy (``functions/greedy_krylov.m``): select the
     top Q+k candidates by centrality once, then per budget step re-score the
@@ -269,9 +356,11 @@ def greedy_krylov(
     shrinks by the chosen edge afterwards (``greedy_krylov.m:64-93``).
 
     ``backend``: 'coo' (XLA gather/segment-sum), 'banded' (RCM + Pallas lane
-    gather, break mode on TPU), or 'auto'. The banded operator works in a
-    relabeled node space; candidate selection and reported edges stay in the
-    original labeling.
+    gather, break mode on TPU), 'sharded' (row-partitioned multi-device
+    operator with the candidate batch sharded over a 'cands' mesh axis —
+    SURVEY.md §5.8; pass ``mesh`` or one is built over all local devices),
+    or 'auto'. The banded operator works in a relabeled node space;
+    candidate selection and reported edges stay in the original labeling.
     """
     import jax
 
@@ -298,6 +387,15 @@ def greedy_krylov(
     # graphs with no block/band structure.
     use_banded = use_bsr = False
     A_aug = None
+    if backend == "sharded":
+        F = _ShardedFrozenMatrix(
+            A, extra_edges=top if mode == "make" else None, dtype=dtype,
+            mesh=mesh,
+        )
+        return _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale,
+                            schedule, shift, checkpoint, dataset,
+                            rescore_every=rescore_every,
+                            rescore_frac=rescore_frac)
     want_pallas = backend in ("auto", "banded", "bsr")
     if want_pallas and (backend != "auto" or jax.default_backend() == "tpu"):
         from ..ops.pallas_bsr_super import (
@@ -357,7 +455,30 @@ def greedy_krylov(
         F = _FrozenStructureMatrix(
             A, extra_edges=top if mode == "make" else None, dtype=dtype
         )
+    return _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale,
+                        schedule, shift, checkpoint, dataset,
+                        rescore_every=rescore_every,
+                        rescore_frac=rescore_frac)
 
+
+def _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
+                 shift, checkpoint, dataset, rescore_every=1,
+                 rescore_frac=0.2):
+    """The budget loop shared by every backend: score the surviving Q
+    candidates in one batched device call, commit the best edge, shrink the
+    search space (``greedy_krylov.m:64-93``).
+
+    ``rescore_every`` > 1 enables per-step candidate-score REUSE (the
+    "fewer products" lever of ``ops/pallas_bsr_super.py:70-85``): scores
+    drift slowly across greedy steps, so the full set is rescored only
+    every that-many steps; between full rescores a FIXED-size subset — the
+    current best ``rescore_frac`` of candidates by stale score, plus every
+    candidate incident to the last edit — is scored fresh (fixed batch
+    shape ⇒ one compiled program). The committed winner always carries a
+    fresh this-step score: if the argmin lands on a stale candidate, the
+    step falls back to a full rescore. rescore_every=1 is the reference
+    protocol (full rescore each step)."""
+    rescale = float(rescale)
     chosen = []
     deltas = []
     iters = []
@@ -378,26 +499,83 @@ def greedy_krylov(
             deltas = state["extra"].get("deltas", [0.0] * start_step)
             iters = state["extra"].get("iters", [0] * start_step)
             times = state["extra"].get("times", [0.0] * start_step)
+    worst = np.inf if mode == "break" else -np.inf
+    scores_all = np.full(len(top), np.nan)  # stale scores aligned with top
+    iters_all = np.zeros(len(top), np.int64)
+    have_scores = False
+    last_edit = None
     for step in range(start_step, k):
         t_step = time.perf_counter()
         E = top[:Q]
-        res = trace_fun_update_edges(
-            F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
-            rescale=rescale, schedule=schedule, shift=shift,
-        )
-        scores = np.asarray(res.delta).copy()
-        if not _guard_scores(scores, step, dataset):
-            scores[~np.isfinite(scores)] = np.inf if mode == "break" else -np.inf
-        h = int(np.argmin(scores) if mode == "break" else np.argmax(scores))
+        nE = len(E)
+        do_full = (rescore_every <= 1 or not have_scores
+                   or (step - start_step) % rescore_every == 0)
+        if not do_full:
+            stale = scores_all[:nE]
+            # fixed-size fresh subset: current best fraction by stale score
+            # + candidates incident to the last edit + never-scored window
+            # entrants; padded up to a multiple of 64 so the batched scorer
+            # reuses one compiled program shape
+            T_fix = min(nE, max(64, -(-int(nE * rescore_frac) // 64) * 64))
+            rank_key = np.where(np.isnan(stale), worst,
+                                stale if mode == "break" else -stale)
+            order = np.argsort(rank_key, kind="stable")
+            sel_mask = np.zeros(nE, bool)
+            sel_mask[order[:T_fix]] = True
+            sel_mask |= np.isnan(stale)
+            if last_edit is not None:
+                li, lj = last_edit
+                sel_mask |= (
+                    (E[:, 0] == li) | (E[:, 1] == li)
+                    | (E[:, 0] == lj) | (E[:, 1] == lj)
+                )
+            sel = np.nonzero(sel_mask)[0]
+            want = min(nE, -(-len(sel) // 64) * 64)
+            if len(sel) < want:  # fill with next-best stale candidates
+                extra = order[~sel_mask[order]][: want - len(sel)]
+                sel = np.sort(np.concatenate([sel, extra]))
+            res = trace_fun_update_edges(
+                F.operator, F.map_edges(E[sel]), sign=sign, fun=fun,
+                tol=tol, rescale=rescale, schedule=schedule, shift=shift,
+            )
+            scores = stale.copy()
+            scores[sel] = np.asarray(res.delta)
+            iters_vec = iters_all[:nE].copy()
+            iters_vec[sel] = np.asarray(res.iters)
+            if not _guard_scores(scores, step, dataset):
+                scores[~np.isfinite(scores)] = worst
+            h = int(np.argmin(scores) if mode == "break"
+                    else np.argmax(scores))
+            if not sel_mask[h]:
+                # the would-be winner carries a stale score: fall back to a
+                # full rescore so the committed pick is always fresh
+                do_full = True
+        if do_full:
+            res = trace_fun_update_edges(
+                F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
+                rescale=rescale, schedule=schedule, shift=shift,
+            )
+            scores = np.asarray(res.delta).copy()
+            iters_vec = np.asarray(res.iters).copy()
+            if not _guard_scores(scores, step, dataset):
+                scores[~np.isfinite(scores)] = worst
+            h = int(np.argmin(scores) if mode == "break"
+                    else np.argmax(scores))
+        scores_all[:nE] = scores
+        iters_all[:nE] = iters_vec
+        have_scores = True
         i, j = int(E[h, 0]), int(E[h, 1])
         chosen.append((i, j))
         deltas.append(float(scores[h]))
-        iters.append(int(np.asarray(res.iters)[h]))
+        iters.append(int(iters_vec[h]))
         rob += float(scores[h])
         F.set_edge(i, j, 0.0 if mode == "break" else 1.0 / rescale)
+        last_edit = (i, j)
         # drop the chosen edge from the search space (greedy_krylov.m:68-71)
         keep = ~((top[:, 0] == i) & (top[:, 1] == j))
         top = top[keep]
+        scores_all = scores_all[keep]
+        iters_all = iters_all[keep]
         times.append(time.perf_counter() - t_step)
         if checkpoint is not None:
             checkpoint.save(dataset, step + 1, chosen, rob,

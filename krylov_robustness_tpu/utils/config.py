@@ -33,6 +33,12 @@ class UnweightedConfig:
     order: str = "min"  # centrality_order{2}
     miobi_eigs: int = 25  # num_eig_miobi
     mode: str = "break"
+    # candidate-score reuse (NOT part of the reference protocol; default off
+    # = full rescore per step). >1 rescores the full set every that-many
+    # steps and a fixed-size fresh subset otherwise — see
+    # optimize.greedy._greedy_loop.
+    rescore_every: int = 1
+    rescore_frac: float = 0.2
 
 
 @dataclasses.dataclass

@@ -229,3 +229,97 @@ def test_greedy_make_bsr_backend_matches_coo():
     np.testing.assert_allclose(r_coo.rob_variation, r_bsr.rob_variation,
                                rtol=1e-10)
     assert (r_coo.A_new != r_bsr.A_new).nnz == 0
+
+
+def test_greedy_sharded_backend_matches_single_device():
+    """backend='sharded' (row-partitioned operator + candidate-sharded batch
+    on the 8-device virtual mesh) must reproduce the single-device COO path
+    edge-for-edge over a full k=5 break sweep (VERDICT r3 item 5)."""
+    import jax
+    import scipy.sparse as sp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = 150
+    rng = np.random.default_rng(5)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 60)])
+    dst = np.concatenate([i + 1, np.zeros(60, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 60)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    # odd Q exercises the candidate-batch padding to the 'cands' axis size
+    r_coo = greedy_krylov(A, 5, 13, c, order="min", tol=1e-8, mode="break",
+                          backend="coo")
+    r_sh = greedy_krylov(A, 5, 13, c, order="min", tol=1e-8, mode="break",
+                         backend="sharded")
+    np.testing.assert_array_equal(r_coo.edges, r_sh.edges)
+    np.testing.assert_allclose(r_coo.rob_variation, r_sh.rob_variation,
+                               rtol=1e-10)
+    assert (r_coo.A_new != r_sh.A_new).nnz == 0
+
+
+def test_greedy_sharded_backend_make_matches_single_device():
+    """make mode on the sharded backend: pre-allocated explicit-zero
+    addition slots survive the row-partitioned packing."""
+    import jax
+    import scipy.sparse as sp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = 150
+    rng = np.random.default_rng(12)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 50)])
+    dst = np.concatenate([i + 1, np.zeros(50, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 50)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    r_coo = greedy_krylov(A, 3, 10, c, order="min", tol=1e-8, mode="make",
+                          backend="coo")
+    r_sh = greedy_krylov(A, 3, 10, c, order="min", tol=1e-8, mode="make",
+                         backend="sharded")
+    np.testing.assert_array_equal(r_coo.edges, r_sh.edges)
+    np.testing.assert_allclose(r_coo.rob_variation, r_sh.rob_variation,
+                               rtol=1e-10)
+    assert (r_coo.A_new != r_sh.A_new).nnz == 0
+
+
+@pytest.mark.parametrize("mode", ["break", "make"])
+def test_greedy_score_reuse_identical_picks(mode):
+    """rescore_every>1 (per-step candidate-score reuse, VERDICT r3 item 6)
+    must commit the same edges as the full-rescore protocol: every winner
+    carries a fresh score and drift is bounded by the periodic full
+    rescore + incident-neighborhood refresh."""
+    n = 150
+    rng = np.random.default_rng(23)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 80)])
+    dst = np.concatenate([i + 1, np.zeros(80, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 80)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    r_full = greedy_krylov(A, 8, 30, c, order="min", tol=1e-8, mode=mode,
+                           backend="coo")
+    r_reuse = greedy_krylov(A, 8, 30, c, order="min", tol=1e-8, mode=mode,
+                            backend="coo", rescore_every=4,
+                            rescore_frac=0.2)
+    np.testing.assert_array_equal(r_full.edges, r_reuse.edges)
+    np.testing.assert_allclose(r_full.rob_variation, r_reuse.rob_variation,
+                               rtol=1e-10)
+    assert (r_full.A_new != r_reuse.A_new).nnz == 0
