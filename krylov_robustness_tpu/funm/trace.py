@@ -34,7 +34,8 @@ def _project(Qacc, x):
     return x - Qacc @ (Qacc.T @ x)
 
 
-def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, m_probe: int):
+def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, scale,
+                        m_probe: int):
     """One outer iteration (``mc_trace.m:42-49``). ``op`` must be jit-safe."""
     n = Qacc.shape[0]
     dtype = Qacc.dtype
@@ -46,14 +47,25 @@ def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, m_probe: int):
         return _project(Qacc, op(_project(Qacc, x)))
 
     Y = defl_op(S)
+    # second cross-block orthogonalization pass: one projection leaves
+    # O(eps·κ) components along Qacc in Y; QR would bake them into "new"
+    # directions. (Root cause of the round-2/3 f32 hub-graph defect —
+    # see NOTES_f32_mc_trace.md.)
+    Y = _project(Qacc, Y)
     Q, R = jnp.linalg.qr(Y)
-    # rank guard: once deflation nearly spans the range, qr of the
-    # residual returns junk orthonormal columns (|R_ii| ≈ 0) that are NOT
-    # orthogonal to Qacc — keeping them double-counts eigenvalue mass and
-    # the estimate runs away. Zero them out (jit-static shapes).
+    # rank guard: once deflation nearly spans the range, qr of the residual
+    # returns junk orthonormal columns (|R_ii| ≈ 0) that are NOT orthogonal
+    # to Qacc — keeping them double-counts eigenvalue mass and the estimate
+    # runs away. The threshold must be ABSOLUTE (against the running scale
+    # of the operator seen so far), not relative to the current block: when
+    # the whole residual block is noise, its columns are mutually comparable
+    # and a per-block-relative guard keeps them all. Zero them out
+    # (jit-static shapes); the caller stops when nothing survives.
     rdiag = jnp.abs(jnp.diagonal(R))
+    scale = jnp.maximum(scale, jnp.max(rdiag))
     keep = rdiag > 100 * jnp.finfo(dtype).eps * jnp.maximum(
-        jnp.max(rdiag), jnp.asarray(1e-300, dtype))
+        scale, jnp.asarray(1e-300, dtype))
+    kept = jnp.sum(keep)
     Q = Q * keep[None, :].astype(dtype)
     tr = tr + jnp.trace(Q.T @ defl_op(Q))
     Qacc = jax.lax.dynamic_update_slice(Qacc, Q, (0, t_idx * m_probe))
@@ -62,7 +74,7 @@ def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, m_probe: int):
         return _project(Qacc, op(_project(Qacc, x)))
 
     tr_new = tr + jnp.trace(G.T @ defl_op2(G)) / m_probe
-    return tr, tr_new, Qacc
+    return tr, tr_new, Qacc, scale, kept
 
 
 def mc_trace(
@@ -96,6 +108,7 @@ def mc_trace(
     Qacc = jnp.zeros((n, m_probe * K), dtype)
     tr = jnp.asarray(0.0, dtype)
     tr_old = 0.0
+    scale = jnp.asarray(0.0, dtype)
     it_fn = jax.jit(
         partial(_mc_trace_iteration, op, m_probe=m_probe),
         static_argnames=(),
@@ -109,7 +122,17 @@ def mc_trace(
     need_hits = 1 if tol >= 1e-4 else 2
     for it in range(K):
         key, sub = jax.random.split(key)
-        tr, tr_new, Qacc = it_fn(sub, Qacc, tr, it)
+        tr, tr_new, Qacc, scale, kept = it_fn(sub, Qacc, tr, it, scale)
+        if int(kept) == 0:
+            # deflation exhausted the operator's numerical range: the
+            # residual is pure noise, the exact accumulator IS the trace
+            # (the remainder of a numerically-null operator is 0)
+            tr_new = tr
+            res = 0.0
+            if debug:
+                print(f"mc_trace it={it + 1} deflation exhausted; "
+                      f"tr={float(tr):.6e}")
+            break
         tr_new_f = float(tr_new)
         res = abs(tr_new_f - tr_old) / max(abs(tr_new_f), abs(tr_old), 1e-300)
         if debug:

@@ -110,3 +110,74 @@ def test_f32_hub_graph_finite_and_matches_f64():
     # shifted trace_exp stays finite in f32 too
     tr32 = float(trace_exp(M32, tol=1e-3, sigma=lmax))
     assert np.isfinite(tr32) and tr32 > 0
+
+
+def test_mc_trace_f32_rank_deficient_operator_regression():
+    """Round-2/3 defect regression (VERDICT r3 item 3): an f32 mc_trace on a
+    numerically low-rank PSD operator (the shifted hub-graph spectrum: one
+    eigenvalue ~1, the rest ~0) must NOT run away. Pre-fix, once deflation
+    spanned the numerical range the residual-QR noise blocks passed the
+    per-block-relative rank guard, contaminated Qacc, broke the projector
+    and the exact-trace accumulator double-counted mass every iteration
+    (5,856 vs 1.0 on the as_735 surrogate; ~13,070 on ca-CondMat in the
+    committed round-2 rows)."""
+    import jax
+
+    from krylov_robustness_tpu.funm.trace import mc_trace
+
+    n, k = 2000, 40
+    rng = np.random.default_rng(7)
+    V, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    # shifted hub spectrum: e^{λ1−σ}=1 dominant, the rest decades below
+    coef = np.concatenate([[1.0], np.exp(-np.linspace(4, 30, k - 1))])
+    exact = coef.sum()
+    V32 = jnp.asarray(V, jnp.float32)
+    c32 = jnp.asarray(coef, jnp.float32)
+
+    def op(x):
+        return V32 @ (c32[:, None] * (V32.T @ x))
+
+    tr, res, it = mc_trace(op, n, tol=1e-4, maxit=1000, m_probe=10,
+                           dtype=jnp.float32)
+    assert abs(tr - exact) < 5e-2 * exact, (tr, exact)
+
+    # f64 stays exact
+    V64 = jnp.asarray(V)
+    c64 = jnp.asarray(coef)
+
+    def op64(x):
+        return V64 @ (c64[:, None] * (V64.T @ x))
+
+    tr64, _, _ = mc_trace(op64, n, tol=1e-4, maxit=1000, m_probe=10,
+                          dtype=jnp.float64)
+    assert abs(tr64 - exact) < 1e-3 * exact
+
+
+def test_trace_exp_f32_shifted_hub_graph_cross_lane():
+    """Cross-lane consistency (the test that would have caught the round-2
+    defect): the device-lane f32 trace_exp on a σ=λmax-shifted hub graph
+    must agree with the certified f64 host lane to stochastic tolerance."""
+    from krylov_robustness_tpu.funm.trace import trace_exp, trace_exp_host
+
+    n = 320
+    rng = np.random.default_rng(3)
+    # star hub + sparse background: λmax ≈ sqrt(n-1) ≈ 17.9 dominates
+    src = np.concatenate([np.zeros(n - 1, np.int64),
+                          rng.integers(1, n, 200)])
+    dst = np.concatenate([np.arange(1, n),
+                          rng.integers(1, n, 200)])
+    keep = src != dst
+    A = sp.coo_matrix((np.ones(keep.sum()), (src[keep], dst[keep])),
+                      shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    lam = np.linalg.eigvalsh(A.toarray())
+    sigma = float(lam[-1])
+    exact = float(np.sum(np.exp(lam - sigma)))
+    host = trace_exp_host(A, sigma=sigma)
+    M32 = CooMatrix.from_scipy(A, dtype=jnp.float32)
+    dev32 = trace_exp(M32, sigma=sigma)
+    assert abs(host - exact) < 2e-2 * exact, (host, exact)
+    assert abs(dev32 - exact) < 5e-2 * exact, (dev32, exact)
