@@ -23,4 +23,5 @@ timeout 21600 python -u -m krylov_robustness_tpu.experiments \
 
 RUN --mode break --datasets Rome
 RUN --mode make  --datasets Rome
+python scripts/summarize_results.py
 echo "=== cpu budget queue done ($(date +%H:%M:%S))"

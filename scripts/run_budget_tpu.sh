@@ -16,4 +16,5 @@ RUN --mode break --datasets RhodeIsland
 RUN --mode make  --datasets RhodeIsland
 RUN --mode break --datasets Hawaii
 RUN --mode make  --datasets Hawaii
+python scripts/summarize_results.py
 echo "=== tpu budget queue done ($(date +%H:%M:%S))"

@@ -35,4 +35,5 @@ if [ "${1:-all}" != "weighted" ]; then
   # 6-transport roster (Anaheim, Rome; the rest on TPU)
   bash scripts/run_budget_cpu.sh
 fi
+python scripts/summarize_results.py
 echo "=== queue done ($(date +%H:%M:%S))"

@@ -13,4 +13,5 @@ RUN() { echo "=== $* ($(date +%H:%M:%S))"; timeout 21600 python -u -m krylov_rob
 RUN unweighted --mode break --datasets Austin as_735 DC ca-HepTh ChicagoRegional Philadelphia Birmingham ca-CondMat Sydney RhodeIsland Hawaii ca-AstroPh soc-Epinions1
 # Tables 2-3, make: Rome + the same roster
 RUN unweighted --mode make --datasets Rome Austin as_735 DC ca-HepTh ChicagoRegional Philadelphia Birmingham ca-CondMat Sydney RhodeIsland Hawaii ca-AstroPh soc-Epinions1
+python scripts/summarize_results.py
 echo "=== tpu queue done ($(date +%H:%M:%S))"
