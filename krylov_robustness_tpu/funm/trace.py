@@ -168,6 +168,7 @@ def mc_trace_host(op, n: int, tol: float = 1e-3, maxit: int = 10,
     hits = 0
     need_hits = 1 if tol >= 1e-4 else 2
     tr_new = 0.0
+    scale = 0.0
     for it in range(K):
         S = rng.choice([-1.0, 1.0], size=(n, m_probe))
         G = rng.choice([-1.0, 1.0], size=(n, m_probe))
@@ -178,10 +179,20 @@ def mc_trace_host(op, n: int, tol: float = 1e-3, maxit: int = 10,
             return y - Qacc @ (Qacc.T @ y)
 
         Y = defl(S)
+        # same three guards as the device lane (NOTES_f32_mc_trace.md):
+        # cross-block re-orthogonalization, ABSOLUTE rank guard against the
+        # running scale, exhaustion stop. The f64 host lane hits the same
+        # runaway on extreme hub spectra (Journals λmax≈101: numerically
+        # rank-1 relative even in f64).
+        Y = Y - Qacc @ (Qacc.T @ Y)
         Q, R = np.linalg.qr(Y)
         rdiag = np.abs(np.diagonal(R))
-        keep = rdiag > 100 * np.finfo(np.float64).eps * max(
-            rdiag.max(initial=0.0), 1e-300)
+        scale = max(scale, rdiag.max(initial=0.0))
+        keep = rdiag > 100 * np.finfo(np.float64).eps * max(scale, 1e-300)
+        if not keep.any():
+            tr_new = tr  # deflated operator numerically null: tr is exact
+            res = 0.0
+            break
         Q = Q[:, keep]
         tr = tr + np.trace(Q.T @ defl(Q))
         Qacc = np.concatenate([Qacc, Q], axis=1)

@@ -299,3 +299,23 @@ def test_trace_exp_host_matches_dense_and_shift_invariance():
     est_s = trace_exp_host(A, tol=1e-6, sigma=sig)
     dense_s = dense * np.exp(-sig)
     assert abs(est_s - dense_s) / dense_s < 1e-5
+
+
+def test_trace_lanes_extreme_hub_spectrum_unshifted():
+    """Journals-class regression (round-4 find): on a numerically-rank-1
+    operator relative to f64 (complete graph: λmax=n-1, λ2=-1, ratio
+    e^{n}), BOTH stochastic lanes used to run away by ~1e4x once deflation
+    exhausted the numerical range — same mechanism as the f32 hub defect
+    (NOTES_f32_mc_trace.md), surfacing even in f64 at σ=0. Post-fix both
+    match the dense oracle."""
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.funm.trace import trace_exp, trace_exp_host
+
+    n = 60  # λmax = 59: e^59 ≈ 4e25, representable, utterly dominant
+    A = sp.csr_matrix(np.ones((n, n)) - np.eye(n))
+    dense = float(np.sum(np.exp(np.linalg.eigvalsh(A.toarray()))))
+    est_dev = trace_exp(CooMatrix.from_scipy(A), tol=1e-4)
+    est_host = trace_exp_host(A)
+    assert abs(est_dev - dense) < 1e-6 * dense, (est_dev, dense)
+    assert abs(est_host - dense) < 1e-6 * dense, (est_host, dense)
