@@ -209,6 +209,57 @@ def main():
                 if acc < 1e-5 and dt < t_best:
                     t_best = dt
 
+    # --- flagship-workload latency (VERDICT r3 item 7): one production
+    # greedy scoring step at the paper-protocol shape — ca-AstroPh-class
+    # graph, batch 250 candidate edges, bs 2 — through the real
+    # trace_fun_update_edges path (fused device recurrence + banded host
+    # spectra + transfer), i.e. the number a greedy sweep's step wall
+    # actually tracks. Median of 5; each call gets a perturbed-value
+    # operator (unique inputs — remote-cache rule above).
+    step_ms = None
+    step_shape = None
+    try:
+        import dataclasses
+
+        from krylov_robustness_tpu.graphs.centrality import (
+            compute_centrality_host,
+        )
+        from krylov_robustness_tpu.funm.normest import normest2_host
+        from krylov_robustness_tpu.graphs.io import load_misc
+        from krylov_robustness_tpu.graphs.preprocess import (
+            preprocess_unweighted,
+        )
+        from krylov_robustness_tpu.graphs.top_edges import find_top_edges
+        from krylov_robustness_tpu.updates.trace_update import (
+            trace_fun_update_edges,
+        )
+
+        with trace_annotation("bench/greedy_step"):
+            A2 = preprocess_unweighted(load_misc("ca-AstroPh"))
+            lognrm = float(normest2_host(A2, tol=1e-2))
+            sigma = lognrm if lognrm > 20.0 else 0.0
+            tol_abs = 1e-6 * float(np.exp(lognrm - sigma))
+            cent = compute_centrality_host(A2, "eig")
+            top = find_top_edges(A2, cent, 250, "min")[:250]
+            M2 = CooMatrix.from_scipy(A2, dtype=jnp.float32)
+            with competing_queues_paused():
+                lat = []
+                for rep in range(6):  # rep 0 = warmup/compile
+                    Mr = dataclasses.replace(
+                        M2, vals=M2.vals * np.float32(1 + 1e-6 * rep))
+                    t0 = time.time()
+                    r = trace_fun_update_edges(
+                        Mr, top, sign=-1.0, tol=tol_abs, shift=sigma)
+                    float(np.asarray(r.delta[0]))
+                    lat.append(time.time() - t0)
+            step_ms = float(np.median(lat[1:]) * 1e3)
+            step_shape = f"ca-AstroPh_b{len(top)}_bs2"
+            print(f"greedy step latency ({step_shape}): "
+                  f"{step_ms:.0f} ms (runs: "
+                  f"{['%.2f' % t for t in lat]})", file=sys.stderr)
+    except Exception as e:
+        print(f"bench: greedy-step latency skipped ({e})", file=sys.stderr)
+
     print(f"{'variant':<24}{'ms':>9}{'Gnnzb/s':>10}{'rel err':>11}"
           f"{'MB':>8}{'SoL ms':>8}", file=sys.stderr)
     for tag, dt, acc, byt in rows:
@@ -217,16 +268,16 @@ def main():
               f"{acc:>11.2e}{(byt or 0) / 1e6:>8.1f}{sol}", file=sys.stderr)
 
     value = nnz * b / t_best / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": f"spmm_throughput_{name}_b{b}",
-                "value": round(value, 3),
-                "unit": "Gnnzb/s",
-                "vs_baseline": round(t_coo / t_best, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": f"spmm_throughput_{name}_b{b}",
+        "value": round(value, 3),
+        "unit": "Gnnzb/s",
+        "vs_baseline": round(t_coo / t_best, 3),
+    }
+    if step_ms is not None:
+        payload["greedy_step_ms"] = round(step_ms, 1)
+        payload["greedy_step_shape"] = step_shape
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
