@@ -85,6 +85,9 @@ def main(argv=None):
     b.add_argument("--search-spaces", type=int, nargs="*",
                    default=[50, 250, 1000])
     b.add_argument("--tol", type=float, default=1e-6)
+    b.add_argument("--force", action="store_true",
+                   help="regenerate sweeps even if their rows exist "
+                   "(keyed in-place replace)")
 
     w = sub.add_parser("weighted", help="Tables 5-6 protocol (weighted IPM)")
     w.add_argument("--fun", choices=["exp", "sinh", "cosh"], default="exp")
@@ -127,7 +130,7 @@ def main(argv=None):
 
         run_budget_sweep(args.datasets, args.budgets, args.search_spaces,
                          mode=args.mode, tol=args.tol, out_dir=args.out_dir,
-                         dtype=dtype)
+                         dtype=dtype, force=args.force)
     elif args.cmd == "weighted":
         from ..utils.config import WeightedConfig
         from .weighted import run_paper_suite

@@ -274,7 +274,8 @@ def run_paper_suite(cfg: UnweightedConfig | None = None,
 
 def run_budget_sweep(names: list[str], budgets, search_spaces,
                      mode: str = "break", tol: float = 1e-6,
-                     out_dir: str = "results", dtype=jnp.float64):
+                     out_dir: str = "results", dtype=jnp.float64,
+                     force: bool = False):
     """Budget sweep protocol (``test_unweighted_break_budget.m``): reuse one
     k=max(budgets) greedy run per (dataset, Q) and read prefixes — the greedy
     sequence for budget k is the first k steps of the budget-100 sequence."""
@@ -285,9 +286,10 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
     for name in names:
         A = preprocess_unweighted(load_transport(name))
         kmax0 = max(budgets)
-        if all(log.has(method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
-                       searchspace_size=min(A.nnz // 2 - kmax0, Q) + kmax0,
-                       budget_size=kmax0) for Q in search_spaces):
+        if not force and all(
+                log.has(method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
+                        searchspace_size=min(A.nnz // 2 - kmax0, Q) + kmax0,
+                        budget_size=kmax0) for Q in search_spaces):
             continue  # resumed: all sweeps for this dataset already logged
         M = CooMatrix.from_scipy(A, dtype=dtype)
         import jax
@@ -318,8 +320,9 @@ def run_budget_sweep(names: list[str], budgets, search_spaces,
         kmax = max(budgets)
         for Q in search_spaces:
             Qe = min(A.nnz // 2 - kmax, Q)
-            if log.has(method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
-                       searchspace_size=Qe + kmax, budget_size=kmax):
+            if not force and log.has(
+                    method=f"GREEDY_KRYLOV_{mode.upper()}", dataset=name,
+                    searchspace_size=Qe + kmax, budget_size=kmax):
                 continue  # resumed: this (dataset, Q) sweep already logged
             res = greedy_krylov(
                 A, kmax, Qe, centrality, order="min", tol=tol * nrm,

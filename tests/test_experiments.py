@@ -229,3 +229,30 @@ def test_budget_sweep_rows_have_positive_times(tmp_path, monkeypatch):
     for r in data:
         assert float(r["time"]) > 0.0
         assert float(r["tr_variation"]) < 0.0
+
+
+def test_greedy_checkpoint_resume_with_score_reuse(tmp_path):
+    """Resume + rescore_every>1: the resumed sweep starts with no stale
+    scores (full rescore on its first step) and must still reproduce the
+    uninterrupted full-rescore sweep edge-for-edge."""
+    from krylov_robustness_tpu.graphs.centrality import compute_centrality
+    from krylov_robustness_tpu.ops.sparse import CooMatrix
+    from krylov_robustness_tpu.optimize.greedy import greedy_krylov
+
+    A = small_graph()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+
+    full = greedy_krylov(A, 6, 12, c, order="min", tol=1e-8, mode="break")
+
+    ck = GreedyCheckpoint(tmp_path / "ck.json")
+    ck.save("tiny", 3, [tuple(e) for e in full.edges[:3]],
+            float(np.sum(full.per_step_delta[:3])),
+            extra={"deltas": full.per_step_delta[:3].tolist(),
+                   "iters": full.per_step_iters[:3].tolist()})
+    resumed = greedy_krylov(A, 6, 12, c, order="min", tol=1e-8, mode="break",
+                            checkpoint=ck, dataset="tiny", rescore_every=3,
+                            rescore_frac=0.25)
+    np.testing.assert_array_equal(resumed.edges, full.edges)
+    np.testing.assert_allclose(resumed.rob_variation, full.rob_variation,
+                               rtol=1e-10)
