@@ -244,15 +244,25 @@ def _band_from_blocks(h_np, beta_np, Cm_np, m: int, bs: int):
 
 @partial(jax.jit, static_argnames=("num_steps",))
 def _lanczos_all(A, U0, num_steps: int):
-    """Start + full-schedule recurrence fused into ONE device program: on
-    TPU sessions every dispatch is a tunnel round-trip (~1s), so the whole
-    Krylov budget runs speculatively in one dispatch and the host reads the
+    """Start + speculative recurrence fused into ONE device program: on
+    TPU sessions every dispatch is a tunnel round-trip (~1s), so the
+    speculated Krylov budget runs in one dispatch and the host reads the
     per-step coefficient blocks back once. Convergence never feeds back into
     the recurrence (forward blocks are unchanged by extension), so the
-    results are bit-identical to round-by-round extension."""
+    results are bit-identical to round-by-round extension. The returned
+    end state resumes the recurrence incrementally (:func:`_lanczos_more`)
+    when stragglers outlive the speculation."""
     state0, R0 = lanczos_start(A, U0)
-    blocks, _ = lanczos_continue(A, state0, num_steps)
-    return blocks, R0, state0.alive
+    blocks, state_end = lanczos_continue(A, state0, num_steps)
+    return blocks, R0, state0.alive, state_end
+
+
+@partial(jax.jit, static_argnames=("num_steps",))
+def _lanczos_more(A, state, num_steps: int):
+    """Incremental extension from a carried state — pays only the missing
+    steps (one dispatch per schedule boundary), never a from-scratch
+    rerun."""
+    return lanczos_continue(A, state, num_steps)
 
 
 def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
@@ -281,7 +291,7 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
     spec = total if spec_rounds is None else int(sum(schedule[:spec_rounds]))
 
     t0 = _time.perf_counter()
-    blocks, R0, alive0 = _lanczos_all(A, U0, num_steps=spec)
+    blocks, R0, alive0, state_end = _lanczos_all(A, U0, num_steps=spec)
     h_np = np.asarray(blocks.h, np.float64)
     beta_np = np.asarray(blocks.beta, np.float64)
     lucky = np.asarray(blocks.lucky_step)
@@ -310,15 +320,23 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
         if len(act) == 0:
             break
         if m_done > have:
-            # stragglers outlived the speculative budget: rerun the full
-            # recurrence (deterministic — the first ``have`` blocks are
-            # bit-identical) and keep going
+            # stragglers outlived the speculated budget: extend the carried
+            # recurrence by exactly this round's missing steps — pays only
+            # the new steps (continuation of the same scan ⇒ bit-identical
+            # to a longer speculation)
             t1 = _time.perf_counter()
-            blocks, _, _ = _lanczos_all(A, U0, num_steps=total)
-            h_np = np.asarray(blocks.h, np.float64)
-            beta_np = np.asarray(blocks.beta, np.float64)
-            lucky = np.asarray(blocks.lucky_step)
-            have = total
+            blocks2, state_end = _lanczos_more(A, state_end,
+                                               num_steps=m_done - have)
+            h_np = np.concatenate(
+                [h_np, np.asarray(blocks2.h, np.float64)], axis=0)
+            beta_np = np.concatenate(
+                [beta_np, np.asarray(blocks2.beta, np.float64)], axis=0)
+            lucky2 = np.asarray(blocks2.lucky_step)
+            # lucky_step is segment-relative: members that survived the
+            # first segment (lucky == have-at-that-time sentinel) carry the
+            # continuation's offsetted value
+            lucky = np.where(lucky < have, lucky, have + lucky2)
+            have = m_done
             t_device += _time.perf_counter() - t1
         band_t, band_g = _band_from_blocks(
             h_np[:, act], beta_np[:, act], Cm[act], m_done, bs
