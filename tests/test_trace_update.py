@@ -282,3 +282,34 @@ def test_band_truncation_equals_principal_submatrix():
             _eigvals_banded_batch(trunc),
             atol=1e-12,
         )
+
+
+def test_host_lane_incremental_extension_bit_identical():
+    """Forcing convergence past the speculated prefix (tol=0 runs the whole
+    budget), the incremental-extension path must produce bit-identical
+    deltas to a full-budget speculation (scan continuation == one long
+    scan)."""
+    from krylov_robustness_tpu.updates.trace_update import (
+        _trace_update_host_eigh,
+        edge_B,
+        edge_start_blocks,
+    )
+    from krylov_robustness_tpu.funm.scalar import get_fun
+
+    import scipy.sparse as sp
+
+    A = random_graph(200, 0.05, seed=11)
+    M = CooMatrix.from_scipy(A)
+    C = sp.coo_matrix(sp.tril(A, -1))
+    E = jnp.asarray(np.stack([C.row[:8], C.col[:8]], axis=1))
+    U0 = edge_start_blocks(200, E, M.dtype)
+    B = edge_B(E, -1.0, 1.0, M.dtype)
+    sched = (6, 6, 8, 12)
+    full = _trace_update_host_eigh(M, U0, B, get_fun("exp"), 0.0, sched,
+                                   lag=2, spec_rounds=None)
+    inc = _trace_update_host_eigh(M, U0, B, get_fun("exp"), 0.0, sched,
+                                  lag=2, spec_rounds=1)
+    np.testing.assert_array_equal(np.asarray(full.delta),
+                                  np.asarray(inc.delta))
+    np.testing.assert_array_equal(np.asarray(full.iters),
+                                  np.asarray(inc.iters))
