@@ -121,6 +121,28 @@ def unweighted_table(mode: str, fh):
     print(f"\n**{done}/22 roster graphs.** Negative is better for break, "
           "positive for make; σ-shifted f32 rows are in e^{-σ} units "
           "(ratios comparable within a row).", file=fh)
+    # beyond-roster datasets (e.g. Vermont — the reference's largest graph,
+    # which its own Tests protocol never runs) render separately
+    roster_names = {name for _, name in ROSTER}
+    extras = sorted({k[1] for s in (cpu, tpu) for k in s
+                     if k[0] == label} - roster_names)
+    if extras:
+        print("\n*Beyond-roster rows (not part of the paper protocol):*\n",
+              file=fh)
+        print("| dataset | n | m | platform | GKB Δtr/tr | MIOBI | EIGENV "
+              "| GKB s |", file=fh)
+        print("|---|---|---|---|---|---|---|---|", file=fh)
+        for name in extras:
+            src, tag = ((cpu, "cpu-f64") if (label, name) in cpu
+                        else (tpu, "tpu-f32"))
+            g = src.get((label, name))
+            mi = src.get(("MIOBI", name))
+            ev = src.get(("EIGENV", name))
+            print(f"| {name} | {g['n']} | {g['m']} | {tag} "
+                  f"| {fmt(g['tr_variation'])} "
+                  f"| {fmt(mi['tr_variation']) if mi else '—'} "
+                  f"| {fmt(ev['tr_variation']) if ev else '—'} "
+                  f"| {fmt_t(g['time'])} |", file=fh)
 
 
 def budget_matrix(fh):
