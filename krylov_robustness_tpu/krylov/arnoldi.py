@@ -36,9 +36,12 @@ class ArnoldiBlocks(NamedTuple):
 
 
 def _chol_qr(w, eps):
+    """Batch-major (batch, n, bs) adapter over the n-major Lanczos CholQR
+    (the Arnoldi layer keeps the stored-basis batch-major layout)."""
     from .lanczos import _chol_qr as impl
 
-    return impl(w, eps)
+    Q, R, ok = impl(jnp.transpose(w, (1, 0, 2)), eps)
+    return jnp.transpose(Q, (1, 0, 2)), R, ok
 
 
 def arnoldi_start(A, B0: jax.Array, max_steps: int,
