@@ -124,6 +124,27 @@ class _FrozenStructureMatrix:
     def map_edges(self, E: np.ndarray) -> np.ndarray:
         return E
 
+    # -- fused multi-step hooks (optimize/fused.py) -------------------------
+    def fused_state(self):
+        return self.mat, self.mat.vals
+
+    @staticmethod
+    def fused_rebuild(op, vals):
+        from .fused import coo_rebuild
+
+        return coo_rebuild(op, vals)
+
+    def fused_slots(self, E: np.ndarray) -> np.ndarray:
+        out = np.empty((len(E), 2), np.int64)
+        for r, (i, j) in enumerate(E):
+            out[r, 0] = self._pos[(int(i), int(j))]
+            out[r, 1] = (self._pos[(int(j), int(i))] if i != j
+                         else out[r, 0])
+        return out
+
+    def set_fused_vals(self, vals):
+        self.mat = dataclasses.replace(self.mat, vals=vals)
+
 
 class _ShardedFrozenMatrix:
     """Frozen-structure adapter over :class:`..parallel.spmm_sharded.
@@ -188,6 +209,10 @@ class _ShardedFrozenMatrix:
 
     _edge_positions = _FrozenStructureMatrix._edge_positions
     set_edge = _FrozenStructureMatrix.set_edge
+    fused_state = _FrozenStructureMatrix.fused_state
+    fused_rebuild = staticmethod(_FrozenStructureMatrix.fused_rebuild)
+    fused_slots = _FrozenStructureMatrix.fused_slots
+    set_fused_vals = _FrozenStructureMatrix.set_fused_vals
 
     @property
     def operator(self):
@@ -243,6 +268,34 @@ class _BandedAdapter:
 
 class _BsrAdapter(_BandedAdapter):
     """Same permutation-mapping adapter over the BSR MXU operator."""
+
+    # -- fused multi-step hooks: flat view over the tile storage ------------
+    def fused_state(self):
+        return self.op, self.op.atiles.reshape(-1)
+
+    @staticmethod
+    def fused_rebuild(op, flat_vals):
+        from .fused import bsr_rebuild
+
+        return bsr_rebuild(op, flat_vals)
+
+    def fused_slots(self, E: np.ndarray) -> np.ndarray:
+        tc = self.op.atiles.shape[1] * self.op.atiles.shape[2]
+        out = np.empty((len(E), 2), np.int64)
+        for r, (i, j) in enumerate(E):
+            e1 = self.op.entry_index(int(i), int(j))
+            out[r, 0] = (self.op._entry_tile[e1] * tc
+                         + self.op._entry_offset[e1])
+            if i != j:
+                e2 = self.op.entry_index(int(j), int(i))
+                out[r, 1] = (self.op._entry_tile[e2] * tc
+                             + self.op._entry_offset[e2])
+            else:
+                out[r, 1] = out[r, 0]
+        return out
+
+    def set_fused_vals(self, flat_vals):
+        self.op.atiles = flat_vals.reshape(self.op.atiles.shape)
 
     def to_scipy(self) -> sp.csr_matrix:
         rows, cols = self.op._entry_rc
@@ -347,6 +400,7 @@ def greedy_krylov(
     mesh=None,
     rescore_every: int = 1,
     rescore_frac: float = 0.2,
+    fused_steps: int = 0,
 ) -> GreedyResult:
     """Adaptive-search-space greedy (``functions/greedy_krylov.m``): select the
     top Q+k candidates by centrality once, then per budget step re-score the
@@ -361,6 +415,12 @@ def greedy_krylov(
     SURVEY.md §5.8; pass ``mesh`` or one is built over all local devices),
     or 'auto'. The banded operator works in a relabeled node space;
     candidate selection and reported edges stay in the original labeling.
+
+    ``fused_steps`` > 1 runs that many budget steps per device dispatch
+    (optimize/fused.py): on-device argmin + frozen-structure commit, with
+    automatic per-step fallback to the accurate path when convergence
+    stragglers outlive the fused Krylov budget. Mutually exclusive with
+    ``rescore_every`` > 1; unsupported on the banded backend.
     """
     import jax
 
@@ -387,15 +447,23 @@ def greedy_krylov(
     # graphs with no block/band structure.
     use_banded = use_bsr = False
     A_aug = None
+    def run_loop(F):
+        if fused_steps > 1 and rescore_every <= 1 and hasattr(
+                F, "fused_state"):
+            return _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol,
+                                      rescale, schedule, shift, checkpoint,
+                                      dataset, R=fused_steps)
+        return _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale,
+                            schedule, shift, checkpoint, dataset,
+                            rescore_every=rescore_every,
+                            rescore_frac=rescore_frac)
+
     if backend == "sharded":
         F = _ShardedFrozenMatrix(
             A, extra_edges=top if mode == "make" else None, dtype=dtype,
             mesh=mesh,
         )
-        return _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale,
-                            schedule, shift, checkpoint, dataset,
-                            rescore_every=rescore_every,
-                            rescore_frac=rescore_frac)
+        return run_loop(F)
     want_pallas = backend in ("auto", "banded", "bsr")
     if want_pallas and (backend != "auto" or jax.default_backend() == "tpu"):
         from ..ops.pallas_bsr_super import (
@@ -455,10 +523,152 @@ def greedy_krylov(
         F = _FrozenStructureMatrix(
             A, extra_edges=top if mode == "make" else None, dtype=dtype
         )
-    return _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale,
-                        schedule, shift, checkpoint, dataset,
-                        rescore_every=rescore_every,
-                        rescore_frac=rescore_frac)
+    return run_loop(F)
+
+
+def _replay_checkpoint(F, top, mode, rescale, checkpoint, dataset):
+    """Resume bookkeeping shared by the per-step and fused loops: re-apply
+    recorded edits, shrink the search space, restore the running tallies."""
+    chosen: list = []
+    deltas: list = []
+    iters: list = []
+    times: list = []
+    rob = 0.0
+    start_step = 0
+    if checkpoint is not None:
+        state = checkpoint.load(dataset)
+        if state is not None:
+            for i, j in state["edges"]:
+                F.set_edge(int(i), int(j),
+                           0.0 if mode == "break" else 1.0 / rescale)
+                keep = ~((top[:, 0] == i) & (top[:, 1] == j))
+                top = top[keep]
+                chosen.append((int(i), int(j)))
+            rob = state["rob_variation"]
+            start_step = state["step"]
+            deltas = state["extra"].get("deltas", [0.0] * start_step)
+            iters = state["extra"].get("iters", [0] * start_step)
+            times = state["extra"].get("times", [0.0] * start_step)
+    return top, chosen, deltas, iters, times, rob, start_step
+
+
+def _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
+                       shift, checkpoint, dataset, R=8, rounds=None,
+                       round_len=None):
+    """Fused-block budget loop: R greedy steps per device dispatch
+    (optimize/fused.py — the reference hot loop ``krylov_miobi.m:112-137``
+    collapsed on device). Any step whose scored window has convergence
+    stragglers beyond the fused budget is replayed through the accurate
+    per-step path, so results keep the full 100-step straggler guarantee."""
+    import warnings
+
+    from ..funm.scalar import get_fun
+    from .fused import FUSED_ROUND_LEN, FUSED_ROUNDS, fused_greedy_block
+
+    rescale = float(rescale)
+    fun_name = get_fun(fun).name
+    rounds = FUSED_ROUNDS if rounds is None else int(rounds)
+    round_len = FUSED_ROUND_LEN if round_len is None else int(round_len)
+    top, chosen, deltas, iters, times, rob, step = _replay_checkpoint(
+        F, top, mode, rescale, checkpoint, dataset)
+    commit = 0.0 if mode == "break" else 1.0 / rescale
+    op0, _ = F.fused_state()
+    ba = getattr(op0, "batch_axis", None)
+    pad_mult = int(op0.mesh.shape[ba]) if ba else 1
+
+    def record(i, j, d, it, t):
+        nonlocal rob
+        chosen.append((int(i), int(j)))
+        deltas.append(float(d))
+        iters.append(int(it))
+        rob += float(d)
+        times.append(t)
+
+    def shrink(i, j):
+        nonlocal top
+        keep = ~((top[:, 0] == i) & (top[:, 1] == j))
+        top = top[keep]
+
+    while step < k:
+        t0 = time.perf_counter()
+        nC = min(len(top), Q + R)
+        nC_pad = -(-nC // pad_mult) * pad_mult
+        table = top[:nC]
+        if nC_pad > nC:
+            table = np.concatenate(
+                [table, np.repeat(table[:1], nC_pad - nC, axis=0)])
+        alive = np.zeros(nC_pad, bool)
+        alive[:nC] = True
+        mapped = np.asarray(F.map_edges(table))
+        slots = F.fused_slots(mapped)
+        op, vals = F.fused_state()
+        vals_f, alive_f, (hs, dls, its, oks, nfs) = fused_greedy_block(
+            op, vals, jnp.asarray(mapped), jnp.asarray(slots),
+            jnp.asarray(alive), commit, tol, shift, sign, rescale,
+            rebuild=F.fused_rebuild, Q=Q, R=R, mode=mode, fun_name=fun_name,
+            rounds=rounds, round_len=round_len)
+        hs, dls = np.asarray(hs), np.asarray(dls)
+        its, oks, nfs = np.asarray(its), np.asarray(oks), np.asarray(nfs)
+        want = min(R, k - step)
+        acc = 0
+        while acc < want and oks[acc]:
+            acc += 1
+        if np.any(nfs[:max(acc, 1)]):
+            warnings.warn(
+                f"fused greedy {dataset}: non-finite candidate scores in "
+                f"steps {step}..{step + acc} (excluded from the argmin)",
+                RuntimeWarning)
+        t_per = (time.perf_counter() - t0) / max(acc, 1)
+        for r in range(acc):
+            h = int(hs[r])
+            record(table[h, 0], table[h, 1], dls[r], its[r], t_per)
+            shrink(table[h, 0], table[h, 1])
+        if acc == R:
+            F.set_fused_vals(vals_f)
+        elif acc > 0:
+            idxs = slots[hs[:acc]].reshape(-1)
+            F.set_fused_vals(
+                vals.at[jnp.asarray(idxs)].set(
+                    jnp.asarray(commit, vals.dtype)))
+        step += acc
+        if checkpoint is not None and acc:
+            checkpoint.save(dataset, step, chosen, rob,
+                            extra={"deltas": deltas, "iters": iters,
+                                   "times": times})
+        if acc < want and not oks[acc]:
+            # convergence straggler in this step's window: score it through
+            # the accurate per-step path (full straggler extension)
+            t1 = time.perf_counter()
+            E = top[:Q]
+            res = trace_fun_update_edges(
+                F.operator, F.map_edges(E), sign=sign, fun=fun, tol=tol,
+                rescale=rescale, schedule=schedule, shift=shift)
+            scores = np.asarray(res.delta).copy()
+            worst = np.inf if mode == "break" else -np.inf
+            if not _guard_scores(scores, step, dataset):
+                scores[~np.isfinite(scores)] = worst
+            h = int(np.argmin(scores) if mode == "break"
+                    else np.argmax(scores))
+            i, j = int(E[h, 0]), int(E[h, 1])
+            F.set_edge(i, j, commit)
+            record(i, j, scores[h], np.asarray(res.iters)[h],
+                   time.perf_counter() - t1)
+            shrink(i, j)
+            step += 1
+            if checkpoint is not None:
+                checkpoint.save(dataset, step, chosen, rob,
+                                extra={"deltas": deltas, "iters": iters,
+                                       "times": times})
+    if checkpoint is not None:
+        checkpoint.clear()
+    return GreedyResult(
+        edges=np.asarray(chosen, dtype=np.int64).reshape(-1, 2),
+        rob_variation=rob,
+        A_new=F.to_scipy(),
+        per_step_delta=np.asarray(deltas),
+        per_step_iters=np.asarray(iters),
+        per_step_time=np.asarray(times),
+    )
 
 
 def _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,

@@ -71,6 +71,45 @@ def test_edges_chunked_matches_unchunked(monkeypatch):
     assert chunked.delta.shape == (700,)
 
 
+def test_edges_chunked_sharded_matches_single_device(monkeypatch):
+    """HBM chunking × 'cands'-axis padding composition (VERDICT r4 item 4b):
+    a full-E-sized batch on the candidate-sharded 8-device operator must
+    reproduce single-device scores through the interacting pads at
+    updates/trace_update.py (chunk rounded to the cands multiple, final
+    chunk padded with a repeated edge)."""
+    import jax
+
+    import krylov_robustness_tpu.updates.trace_update as tu
+    from krylov_robustness_tpu.parallel.mesh import make_mesh_2d
+    from krylov_robustness_tpu.parallel.spmm_sharded import RowShardedMatrix
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    n = 150
+    A = random_graph(n, 0.06, seed=11)
+    M = CooMatrix.from_scipy(A)
+    iu, ju = np.nonzero(np.tril(A.toarray(), -1))
+    edges = np.stack([iu, ju], axis=1)[:655]  # odd batch: tail pad needed
+
+    # tol is ABSOLUTE (the drivers pass 1e-6·exp(‖A‖)); deltas here are
+    # O(1e6), so 1e-2 matches the protocol's relative tightness
+    full = trace_fun_update_edges(M, edges, sign=-1.0, tol=1e-2)
+    mesh = make_mesh_2d(4, 2)  # ('cands', 4) x ('rows', 2)
+    S = RowShardedMatrix.from_scipy(A, mesh, batch_axis="cands")
+    # chunk floor: 64-candidate chunks, each padded/rounded to the cands
+    # multiple -> many chunk boundaries interact with the axis padding
+    monkeypatch.setattr(tu, "MAX_SCORE_CELLS", 64 * n)
+    sh = trace_fun_update_edges(S, edges, sign=-1.0, tol=1e-2)
+    np.testing.assert_allclose(np.asarray(sh.delta),
+                               np.asarray(full.delta), rtol=1e-10)
+    # flags compare as sets of converged candidates, not bitwise: a
+    # borderline candidate's lag error can cross tol under the sharded
+    # summation order — deltas above pin the values themselves
+    assert bool(np.asarray(sh.converged).all())
+    assert bool(np.asarray(full.converged).all())
+    assert sh.delta.shape == (655,)
+
+
 @pytest.mark.parametrize("fname,f_np", [
     ("sinh", np.sinh),
     ("cosh", np.cosh),
