@@ -72,10 +72,19 @@ def main(argv=None):
     u.add_argument("--rescore-every", type=int, default=1,
                    help="candidate-score reuse period: full rescore every N "
                    "greedy steps, fixed-size fresh subset otherwise "
-                   "(1 = reference protocol)")
+                   "(1 = reference protocol; >1 is a non-reference "
+                   "heuristic — the committed winner is always scored "
+                   "fresh, but picks are only heuristically equivalent to "
+                   "the full-rescore protocol)")
     u.add_argument("--rescore-frac", type=float, default=0.2,
                    help="fraction of candidates scored fresh between full "
                    "rescores")
+    u.add_argument("--fused-steps", type=int, default=0,
+                   help="greedy steps fused per device dispatch (on-device "
+                   "argmin + commit, optimize/fused.py); 0/1 = per-step "
+                   "loop. Picks match the per-step loop; steps with "
+                   "convergence stragglers past the fused budget replay "
+                   "through the accurate path")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")
@@ -120,7 +129,8 @@ def main(argv=None):
         cfg = UnweightedConfig(mode=args.mode, k=args.k, Q=args.Q,
                                tol=args.tol, order=args.order,
                                rescore_every=args.rescore_every,
-                               rescore_frac=args.rescore_frac)
+                               rescore_frac=args.rescore_frac,
+                               fused_steps=args.fused_steps)
         run_paper_suite(cfg, out_dir=args.out_dir,
                         collections=tuple(args.collections),
                         datasets=args.datasets or None, dtype=dtype,

@@ -137,7 +137,7 @@ def run_dataset(A_raw, name: str, cfg: UnweightedConfig, log: ResultLog,
         A, cfg.k, Q, centrality, order=cfg.order, tol=tol_abs,
         mode=cfg.mode, dtype=dtype, checkpoint=checkpoint, dataset=name,
         shift=sigma, rescore_every=cfg.rescore_every,
-        rescore_frac=cfg.rescore_frac,
+        rescore_frac=cfg.rescore_frac, fused_steps=cfg.fused_steps,
     )
     t_gkb = timer.lap() + time_centrality
     log.append(

@@ -125,10 +125,14 @@ def mc_trace(
         tr, tr_new, Qacc, scale, kept = it_fn(sub, Qacc, tr, it, scale)
         if int(kept) == 0:
             # deflation exhausted the operator's numerical range: the
-            # residual is pure noise, the exact accumulator IS the trace
-            # (the remainder of a numerically-null operator is 0)
+            # residual is pure noise, the exact accumulator IS the trace up
+            # to the dropped remainder — which the absolute rank guard
+            # (~100·eps·scale per column) bounds at ~n·eps·scale. Report
+            # that bound (relative, matching res's units elsewhere) rather
+            # than claiming exactly 0 (ADVICE r4).
             tr_new = tr
-            res = 0.0
+            res = float(n * jnp.finfo(dtype).eps * jnp.abs(scale)
+                        / jnp.maximum(jnp.abs(tr), 1e-300))
             if debug:
                 print(f"mc_trace it={it + 1} deflation exhausted; "
                       f"tr={float(tr):.6e}")
@@ -190,8 +194,12 @@ def mc_trace_host(op, n: int, tol: float = 1e-3, maxit: int = 10,
         scale = max(scale, rdiag.max(initial=0.0))
         keep = rdiag > 100 * np.finfo(np.float64).eps * max(scale, 1e-300)
         if not keep.any():
-            tr_new = tr  # deflated operator numerically null: tr is exact
-            res = 0.0
+            # deflated operator numerically null: tr is exact up to the
+            # guard-dropped remainder, bounded at ~n·eps·scale (relative
+            # form to match res's units elsewhere; ADVICE r4)
+            tr_new = tr
+            res = (n * np.finfo(np.float64).eps * abs(scale)
+                   / max(abs(tr), 1e-300))
             break
         Q = Q[:, keep]
         tr = tr + np.trace(Q.T @ defl(Q))

@@ -448,8 +448,13 @@ def greedy_krylov(
     use_banded = use_bsr = False
     A_aug = None
     def run_loop(F):
-        if fused_steps > 1 and rescore_every <= 1 and hasattr(
-                F, "fused_state"):
+        # below the dense cutoff the per-step loop scores through the EXACT
+        # dense path (trace_fun_update.m:37); keep that guarantee
+        from ..updates.trace_update import DENSE_N_CUTOFF
+
+        if (fused_steps > 1 and rescore_every <= 1
+                and A.shape[0] > DENSE_N_CUTOFF
+                and hasattr(F, "fused_state")):
             return _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol,
                                       rescale, schedule, shift, checkpoint,
                                       dataset, R=fused_steps)
@@ -752,8 +757,10 @@ def _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
             scores[sel] = np.asarray(res.delta)
             iters_vec = iters_all[:nE].copy()
             iters_vec[sel] = np.asarray(res.iters)
+            guarded = np.zeros(nE, bool)
             if not _guard_scores(scores, step, dataset):
-                scores[~np.isfinite(scores)] = worst
+                guarded = ~np.isfinite(scores)
+                scores[guarded] = worst
             h = int(np.argmin(scores) if mode == "break"
                     else np.argmax(scores))
             if not sel_mask[h]:
@@ -767,11 +774,18 @@ def _greedy_loop(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
             )
             scores = np.asarray(res.delta).copy()
             iters_vec = np.asarray(res.iters).copy()
+            guarded = np.zeros(nE, bool)
             if not _guard_scores(scores, step, dataset):
-                scores[~np.isfinite(scores)] = worst
+                guarded = ~np.isfinite(scores)
+                scores[guarded] = worst
             h = int(np.argmin(scores) if mode == "break"
                     else np.argmax(scores))
         scores_all[:nE] = scores
+        # guarded (transiently non-finite) entries persist as NaN, not
+        # worst: NaN re-enters the never-scored refresh set next step, so a
+        # non-converged candidate is retried immediately instead of staying
+        # excluded until the next periodic full rescore (ADVICE r4)
+        scores_all[:nE][guarded] = np.nan
         iters_all[:nE] = iters_vec
         have_scores = True
         i, j = int(E[h, 0]), int(E[h, 1])

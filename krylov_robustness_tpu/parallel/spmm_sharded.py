@@ -213,6 +213,18 @@ class RowShardedMatrix:
         )
         return f(self.rows_local, self.cols, self.vals, x_sharded)
 
+    def todense(self) -> jax.Array:
+        """Replicated dense (n, n) view — enables the exact dense fast path
+        of ``updates.trace_update`` (reference ``trace_fun_update.m:37``)
+        below the n≤130 cutoff, so ``backend='sharded'`` matches the COO
+        backend edge-for-edge on small graphs too (ADVICE r4). Per-shard pad
+        slots carry val 0 at (local row 0, col 0) and scatter-add harmlessly.
+        Not supported for the ELL layout (no per-entry row ids)."""
+        if self.layout != "coo":
+            raise NotImplementedError("todense() requires the COO layout")
+        out = jnp.zeros((self.n, self.n), self.vals.dtype)
+        return out.at[self.rows, self.cols].add(self.vals)
+
     # ---- replicated convenience API (drop-in for CooMatrix) --------------
     def matmul(self, x: jax.Array) -> jax.Array:
         squeeze = x.ndim == 1

@@ -273,12 +273,15 @@ def _trace_update_host_eigh(A, U0, B, fun, tol, schedule, lag,
     (``trace_fun_update.m:103-118``) from the transferred blocks.
 
     ``spec_rounds`` bounds the speculative recurrence budget to the first
-    that-many schedule rounds; if stragglers outlive it, the FULL-budget
-    recurrence is rerun once (bit-identical prefix — the forward blocks
-    don't depend on convergence) and the bookkeeping continues. TPU
-    sessions speculate the whole budget (a tunnel round-trip costs more
-    than the extra SpMMs); the CPU lane speculates only the first phase
-    (~20 steps cover the common convergence range; VERDICT r3 item 4).
+    that-many schedule rounds (all platforms speculate phase 1, ~20 steps —
+    the observed convergence range is m≈12 across the roster). If
+    stragglers outlive the speculation, the carried end state is extended
+    INCREMENTALLY by exactly each later round's missing steps
+    (:func:`_lanczos_more` — one dispatch per outlived schedule boundary,
+    never a from-scratch rerun); the forward blocks don't depend on
+    convergence, so the extended run is bit-identical to a longer
+    speculation (regression: ``tests/test_trace_update.py::
+    test_host_lane_incremental_extension_bit_identical``).
     """
     import os
     import time as _time

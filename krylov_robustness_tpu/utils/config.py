@@ -39,6 +39,10 @@ class UnweightedConfig:
     # optimize.greedy._greedy_loop.
     rescore_every: int = 1
     rescore_frac: float = 0.2
+    # greedy steps fused per device dispatch (optimize/fused.py); 0/1 =
+    # per-step loop. Picks match the per-step protocol (straggler steps
+    # replay through the accurate path).
+    fused_steps: int = 0
 
 
 @dataclasses.dataclass
