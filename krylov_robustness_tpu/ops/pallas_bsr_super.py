@@ -235,6 +235,51 @@ def pack_bsr_super(A_scipy, tile_r: int = TILE_R, tile_c: int = TILE_C):
     return atiles, meta, entry_tile, entry_offset, n_pad
 
 
+def pack_bsr_super_block(A_block, tile_r: int = TILE_R, tile_c: int = TILE_C):
+    """Rectangular variant of :func:`pack_bsr_super` for a row BLOCK of a
+    row-partitioned matrix (rows = local shard rows, cols = all global
+    columns): rows and columns pad independently, so a (rps, n) shard block
+    packs without squaring. Returns (atiles, meta, entry_tile, entry_offset,
+    (m_pad, n_pad)); meta/entry semantics as in :func:`pack_bsr_super`.
+    Feeds the sharded Pallas local SpMM (parallel/spmm_sharded.py) —
+    the multi-device replacement of MATLAB's ``A*w``
+    (``lanczos_krylov.m:81``) over the distributed lane."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A_block)
+    A.sort_indices()
+    m, n = A.shape
+    m_pad = _round_up(max(m, tile_r), tile_r)
+    n_pad = _round_up(max(n, tile_c), tile_c)
+    nslab = n_pad // tile_c
+    nsup = m_pad // tile_r
+    coo = A.tocoo()
+    sup_e = (coo.row // tile_r).astype(np.int64)
+    slab_e = (coo.col // tile_c).astype(np.int64)
+    key = sup_e * nslab + slab_e
+    uniq = np.unique(key)
+    have = np.unique(uniq // nslab)
+    missing = np.setdiff1d(np.arange(nsup), have)
+    if len(missing):
+        extra = missing.astype(np.int64) * nslab + np.minimum(missing,
+                                                              nslab - 1)
+        uniq = np.unique(np.concatenate([uniq, extra]))
+    ntile = len(uniq)
+    sup = (uniq // nslab).astype(np.int32)
+    slab = (uniq % nslab).astype(np.int32)
+    start = np.zeros(ntile, dtype=np.int32)
+    start[np.unique(sup, return_index=True)[1]] = 1
+    meta = (slab, sup, start)
+    key_pos = np.searchsorted(uniq, key)
+    atiles = np.zeros((ntile, tile_r, tile_c), dtype=np.float64)
+    ri = coo.row % tile_r
+    ci = coo.col % tile_c
+    atiles[key_pos, ri, ci] = coo.data
+    entry_tile = key_pos.astype(np.int64)
+    entry_offset = (ri.astype(np.int64) * tile_c + ci).astype(np.int64)
+    return atiles, meta, entry_tile, entry_offset, (m_pad, n_pad)
+
+
 def super_tile_count(A_scipy, perm: np.ndarray | None = None,
                      tile_r: int = TILE_R, tile_c: int = TILE_C) -> int:
     """Number of super-tiles (incl. per-super fill-ins) under ``perm``."""

@@ -64,6 +64,12 @@ def bsr_rebuild(op, flat_vals):
     return type(op).tree_unflatten(aux, (atiles, children[1]))
 
 
+def sharded_bsr_rebuild(op, flat_vals):
+    """BsrRowShardedMatrix with replaced tile storage (flat view)."""
+    return dataclasses.replace(
+        op, atiles=flat_vals.reshape(op.atiles.shape))
+
+
 def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
                lag: int, bs: int, fun_name: str):
     """Score every candidate on device with early-exit over uniform rounds.

@@ -234,6 +234,113 @@ class _ShardedFrozenMatrix:
         return out
 
 
+class _ShardedBsrFrozenMatrix:
+    """Frozen-structure adapter over :class:`..parallel.spmm_sharded.
+    BsrRowShardedMatrix` — the multi-device operator whose LOCAL SpMM is
+    the super-tile MXU Pallas kernel (VERDICT r4 item 2; SURVEY.md §7 step
+    7). Globally RCM-permuted at build time so each shard's row block is
+    banded (few column slabs per super-row); candidate selection and
+    reported edges stay in the original labeling via the pinv mapping,
+    exactly like :class:`_BsrAdapter` on one chip."""
+
+    def __init__(self, A: sp.spmatrix, extra_edges: np.ndarray | None,
+                 dtype=jnp.float64, mesh=None, tile=(512, 256),
+                 interpret: bool | None = None):
+        import jax
+
+        from ..ops.pallas_spmm import rcm_permutation
+        from ..parallel.mesh import make_mesh, make_mesh_2d
+        from ..parallel.spmm_sharded import BsrRowShardedMatrix
+
+        if mesh is None:
+            nd = len(jax.devices())
+            if nd >= 4 and nd % 2 == 0:
+                mesh = make_mesh_2d(2, nd // 2)
+            else:
+                mesh = make_mesh(nd)
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        A = sp.csr_matrix(A, copy=True)
+        n = A.shape[0]
+        if extra_edges is not None and len(extra_edges):
+            e = np.asarray(extra_edges)
+            pattern = sp.coo_matrix(
+                (np.full(2 * len(e), 1e-300),
+                 (np.concatenate([e[:, 0], e[:, 1]]),
+                  np.concatenate([e[:, 1], e[:, 0]]))),
+                shape=(n, n),
+            )
+            A = (A + pattern.tocsr()).tocsr()
+        perm = rcm_permutation(A)
+        self.pinv = np.empty_like(perm)
+        self.pinv[perm] = np.arange(len(perm))
+        # permute in COO space (scipy fancy indexing would drop the
+        # explicit-zero addition slots)
+        C1 = sp.coo_matrix(A)
+        Ap = sp.coo_matrix(
+            (C1.data, (self.pinv[C1.row], self.pinv[C1.col])), shape=A.shape
+        ).tocsr()
+        self.op = BsrRowShardedMatrix.from_scipy(
+            Ap, mesh, dtype=dtype,
+            batch_axis="cands" if "cands" in mesh.shape else None,
+            tile=tile, interpret=interpret)
+        rc = self.op.entry_rc()
+        flat = self.op.entry_positions()
+        self._pos = {(int(i), int(j)): int(p)
+                     for (i, j), p in zip(rc, flat)}
+        if extra_edges is not None and len(extra_edges):
+            idx = self._edge_positions(self.pinv[np.asarray(extra_edges)])
+            self.op.set_flat(idx, 0.0)
+
+    _edge_positions = _FrozenStructureMatrix._edge_positions
+
+    @property
+    def operator(self):
+        return self.op
+
+    def map_edges(self, E: np.ndarray) -> np.ndarray:
+        return self.pinv[np.asarray(E)]
+
+    def set_edge(self, i: int, j: int, value: float):
+        pi, pj = int(self.pinv[i]), int(self.pinv[j])
+        self.op.set_flat(self._edge_positions(np.array([[pi, pj]])), value)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        rc = self.op.entry_rc()
+        vals = self.op.entry_values().astype(np.float64)
+        perm = np.empty_like(self.pinv)
+        perm[self.pinv] = np.arange(len(self.pinv))
+        n = self.op.n_orig
+        keep = (rc[:, 0] < len(perm)) & (rc[:, 1] < len(perm))
+        out = sp.coo_matrix(
+            (vals[keep], (perm[rc[keep, 0]], perm[rc[keep, 1]])),
+            shape=(n, n),
+        ).tocsr()
+        out.eliminate_zeros()
+        return out
+
+    # -- fused multi-step hooks ---------------------------------------------
+    def fused_state(self):
+        return self.op, self.op.atiles.reshape(-1)
+
+    @staticmethod
+    def fused_rebuild(op, flat_vals):
+        from .fused import sharded_bsr_rebuild
+
+        return sharded_bsr_rebuild(op, flat_vals)
+
+    def fused_slots(self, E: np.ndarray) -> np.ndarray:
+        out = np.empty((len(E), 2), np.int64)
+        for r, (i, j) in enumerate(E):
+            out[r, 0] = self._pos[(int(i), int(j))]
+            out[r, 1] = (self._pos[(int(j), int(i))] if i != j
+                         else out[r, 0])
+        return out
+
+    def set_fused_vals(self, flat_vals):
+        self.op.atiles = flat_vals.reshape(self.op.atiles.shape)
+
+
 class _BandedAdapter:
     """Greedy-facing adapter over the RCM-permuted Pallas operator: maps
     original node ids through the permutation for scoring and edits."""
@@ -413,8 +520,11 @@ def greedy_krylov(
     gather, break mode on TPU), 'sharded' (row-partitioned multi-device
     operator with the candidate batch sharded over a 'cands' mesh axis —
     SURVEY.md §5.8; pass ``mesh`` or one is built over all local devices),
-    or 'auto'. The banded operator works in a relabeled node space;
-    candidate selection and reported edges stay in the original labeling.
+    'sharded_bsr' (same row partitioning but the LOCAL SpMM is the
+    super-tile MXU Pallas kernel over globally-RCM-permuted row blocks —
+    the single-chip kernel lifted into the distributed lane), or 'auto'.
+    The banded/BSR operators work in a relabeled node space; candidate
+    selection and reported edges stay in the original labeling.
 
     ``fused_steps`` > 1 runs that many budget steps per device dispatch
     (optimize/fused.py): on-device argmin + frozen-structure commit, with
@@ -465,6 +575,12 @@ def greedy_krylov(
 
     if backend == "sharded":
         F = _ShardedFrozenMatrix(
+            A, extra_edges=top if mode == "make" else None, dtype=dtype,
+            mesh=mesh,
+        )
+        return run_loop(F)
+    if backend == "sharded_bsr":
+        F = _ShardedBsrFrozenMatrix(
             A, extra_edges=top if mode == "make" else None, dtype=dtype,
             mesh=mesh,
         )

@@ -244,3 +244,222 @@ class RowShardedMatrix:
 def psum_dot(a: jax.Array, b: jax.Array, axis: str = "rows") -> jax.Array:
     """Inner product of row-sharded blocks (call inside shard_map)."""
     return jax.lax.psum(jnp.sum(a * b), axis)
+
+
+class _HostMeta:
+    """Hashable-by-identity holder for host-side metadata (jit aux data)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BsrRowShardedMatrix:
+    """Row-partitioned operator whose LOCAL SpMM is the super-tile MXU
+    Pallas kernel (``ops/pallas_bsr_super.py``) instead of XLA
+    gather/segment-sum — the single-chip kernel that wins ~1.9× over the
+    XLA COO path, lifted into the distributed lane (SURVEY.md §5.8, §7
+    step 7; replaces MATLAB ``A*w``, ``lanczos_krylov.m:81``).
+
+    Each shard's (rps × n) row block is packed into dense super-tiles at
+    build time (:func:`..ops.pallas_bsr_super.pack_bsr_super_block`); tile
+    counts are padded to the max across shards with all-zero tiles
+    (accumulate-only, assigned to super-row 0) so the per-shard Pallas grid
+    is uniform. SpMM: all_gather(x) over ICI → local Pallas tile pass →
+    y naturally row-sharded. Frozen-structure value edits scatter into the
+    flat tile storage (same contract as :class:`.SuperBsrOperator`)."""
+
+    def tree_flatten(self):
+        return (self.atiles, self.slab, self.sup, self.start), (
+            self.mesh, self.n, self.n_orig, self.nnz, self.m_pad,
+            self.n_pad, self.axis, self.batch_axis, self.mode, self.dtype,
+            self.interpret, self._hm,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        atiles, slab, sup, start = children
+        (mesh, n, n_orig, nnz, m_pad, n_pad, axis, batch_axis, mode, dtype,
+         interpret, hm) = aux
+        return cls(mesh=mesh, atiles=atiles, slab=slab, sup=sup, start=start,
+                   n=n, n_orig=n_orig, nnz=nnz, m_pad=m_pad, n_pad=n_pad,
+                   axis=axis, batch_axis=batch_axis, mode=mode, dtype=dtype,
+                   interpret=interpret, _hm=hm)
+
+    mesh: Mesh
+    atiles: jax.Array  # (D, ntile_u, tile_r, tile_c) row-sharded
+    slab: jax.Array  # (D, ntile_u) int32 column-slab index per tile
+    sup: jax.Array  # (D, ntile_u) int32 super-row index per tile
+    start: jax.Array  # (D, ntile_u) int32 1 = first tile of its super-row
+    n: int  # global rows (padded to multiple of D)
+    n_orig: int
+    nnz: int
+    m_pad: int  # per-shard padded rows (multiple of tile_r)
+    n_pad: int  # padded gathered-x rows (multiple of tile_c)
+    axis: str = "rows"
+    batch_axis: str | None = None
+    mode: str = "f32"  # 'f32' | 'bf16x2' | 'bf16x3' (storage/MXU strategy)
+    dtype: object = jnp.float32  # compute dtype of the SpMM
+    interpret: bool = False
+    _hm: object = None  # _HostMeta: entry_flat/entry_rc for value edits
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.mesh.shape[self.axis]
+
+    @property
+    def shape(self):
+        return (self.n_orig, self.n_orig)
+
+    @staticmethod
+    def from_scipy(A, mesh: Mesh, dtype=jnp.float32, axis: str = "rows",
+                   batch_axis: str | None = None, tile=(512, 256),
+                   mode: str = "auto", interpret: bool = False):
+        import scipy.sparse as sp
+
+        from ..ops.pallas_bsr_super import pack_bsr_super_block
+
+        A = sp.csr_matrix(A)
+        A.sort_indices()
+        n_orig = A.shape[0]
+        D = mesh.shape[axis]
+        n = _round_up(n_orig, D)
+        rps = n // D
+        tr, tc = tile
+        # pad to (n, n) so every shard block is exactly (rps, n)
+        pad = n - n_orig
+        Ap = sp.csr_matrix(
+            (A.data, A.indices,
+             np.concatenate([A.indptr, np.full(pad, A.indptr[-1])])),
+            shape=(n, n))
+        packs = [pack_bsr_super_block(Ap[d * rps:(d + 1) * rps, :], tr, tc)
+                 for d in range(D)]
+        ntile_u = max(p[0].shape[0] for p in packs)
+        m_pad, n_pad = packs[0][4]
+        atiles = np.zeros((D, ntile_u, tr, tc), np.float64)
+        slab = np.zeros((D, ntile_u), np.int32)
+        sup = np.zeros((D, ntile_u), np.int32)
+        start = np.zeros((D, ntile_u), np.int32)
+        entry_flat_parts = []
+        entry_rc_parts = []
+        for d, (at, (sl, su, st), et, eo, _) in enumerate(packs):
+            k = at.shape[0]
+            atiles[d, :k] = at
+            slab[d, :k] = sl
+            sup[d, :k] = su
+            start[d, :k] = st
+            # pad tiles: all-zero, accumulate into super 0 (never a start —
+            # they run after the real tiles, adding 0 to an already-written
+            # y tile)
+            entry_flat_parts.append(
+                (d * ntile_u + et) * (tr * tc) + eo)
+            blk = sp.coo_matrix(Ap[d * rps:(d + 1) * rps, :])
+            entry_rc_parts.append(
+                np.stack([blk.row + d * rps, blk.col], axis=1))
+        entry_flat = np.concatenate(entry_flat_parts)
+        entry_rc = np.concatenate(entry_rc_parts, axis=0)
+        if mode == "auto":
+            bf16_exact = bool(
+                np.all(atiles.astype(jnp.bfloat16).astype(np.float64)
+                       == atiles))
+            mode = ("bf16x2" if (bf16_exact and dtype == jnp.float32)
+                    else "f32")
+        store = jnp.bfloat16 if mode.startswith("bf16x") else dtype
+        sh = NamedSharding(mesh, P(axis))
+        hm = _HostMeta(entry_flat=entry_flat, entry_rc=entry_rc)
+        return BsrRowShardedMatrix(
+            mesh=mesh,
+            atiles=jax.device_put(jnp.asarray(atiles, dtype=store), sh),
+            slab=jax.device_put(jnp.asarray(slab), sh),
+            sup=jax.device_put(jnp.asarray(sup), sh),
+            start=jax.device_put(jnp.asarray(start), sh),
+            n=n, n_orig=n_orig, nnz=int(A.nnz), m_pad=m_pad, n_pad=n_pad,
+            axis=axis, batch_axis=batch_axis, mode=mode, dtype=dtype,
+            interpret=interpret, _hm=hm)
+
+    # -- frozen-structure value edits ---------------------------------------
+    def entry_positions(self) -> np.ndarray:
+        """Flat tile-storage position per nnz entry (entries ordered shard-
+        major, row-sorted within shard; rows/cols via entry_rc)."""
+        return self._hm.entry_flat
+
+    def entry_rc(self) -> np.ndarray:
+        return self._hm.entry_rc
+
+    def set_flat(self, positions: np.ndarray, value: float):
+        flat = self.atiles.reshape(-1)
+        flat = flat.at[jnp.asarray(positions)].set(
+            jnp.asarray(value, self.atiles.dtype))
+        self.atiles = flat.reshape(self.atiles.shape)
+
+    def entry_values(self) -> np.ndarray:
+        flat = self.atiles.reshape(-1)
+        return np.asarray(
+            flat[jnp.asarray(self._hm.entry_flat)].astype(jnp.float32))
+
+    # -- sharded-in / sharded-out kernel ------------------------------------
+    def spmm_sharded(self, x_sharded: jax.Array) -> jax.Array:
+        from ..ops.pallas_bsr_super import (
+            BLK,
+            _tile_spmm_bf16,
+            _tile_spmm_f32,
+        )
+
+        axis = self.axis
+        rps = self.rows_per_shard
+        compute = (jnp.float32 if self.mode.startswith("bf16x")
+                   else self.dtype)
+        mode = self.mode
+        interpret = self.interpret
+        m_pad, n_pad = self.m_pad, self.n_pad
+
+        def kern(slab, sup, start, atiles, x_l):
+            b_l = x_l.shape[1]
+            b_p = _round_up(b_l, BLK)
+            # issue the collective first; tile DMA setup is independent
+            x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
+            xp = jnp.zeros((n_pad, b_p), compute)
+            xp = xp.at[:x_full.shape[0], :b_l].set(x_full.astype(compute))
+            meta = (slab[0], sup[0], start[0])
+            if mode.startswith("bf16x"):
+                y = _tile_spmm_bf16(meta, atiles[0], xp, n_pad_y=m_pad,
+                                    terms=int(mode[-1]),
+                                    interpret=interpret)
+            else:
+                y = _tile_spmm_f32(meta, atiles[0], xp, n_pad_y=m_pad,
+                                   interpret=interpret)
+            return y[:rps, :b_l].astype(x_l.dtype)
+
+        # jax.shard_map (not the deprecated experimental alias): pallas_call's
+        # out ShapeDtypeStruct carries no varying-mesh-axes annotation, so
+        # the vma check must be off for this kernel
+        return jax.shard_map(
+            kern,
+            mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis),
+                      P(axis, self.batch_axis)),
+            out_specs=P(axis, self.batch_axis),
+            check_vma=False,
+        )(self.slab, self.sup, self.start, self.atiles, x_sharded)
+
+    # -- replicated convenience API (drop-in for RowShardedMatrix) ----------
+    def matmul(self, x: jax.Array) -> jax.Array:
+        squeeze = x.ndim == 1
+        if squeeze:
+            x = x[:, None]
+        n_in, b = x.shape
+        if n_in != self.n:
+            x = jnp.pad(x, ((0, self.n - n_in), (0, 0)))
+        y = self.spmm_sharded(x)
+        y = y[: n_in]
+        return y[:, 0] if squeeze else y
+
+    def __matmul__(self, x):
+        return self.matmul(x)

@@ -421,6 +421,44 @@ def test_greedy_fused_other_backends(backend):
         assert (r_coo.A_new != r_f.A_new).nnz == 0
 
 
+def test_greedy_sharded_bsr_backend_matches_coo():
+    """backend='sharded_bsr' — the super-tile Pallas kernel as the LOCAL
+    SpMM of the row-partitioned operator (VERDICT r4 item 2), globally
+    RCM-permuted, interpret mode on the 8-device virtual mesh — must
+    reproduce the per-step COO loop edge-for-edge on both modes, per-step
+    and fused."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = 150
+    rng = np.random.default_rng(5)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 60)])
+    dst = np.concatenate([i + 1, np.zeros(60, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 60)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    for mode in ("break", "make"):
+        r_coo = greedy_krylov(A, 4, 13, c, order="min", tol=1e-8, mode=mode,
+                              backend="coo")
+        r_sb = greedy_krylov(A, 4, 13, c, order="min", tol=1e-8, mode=mode,
+                             backend="sharded_bsr")
+        np.testing.assert_array_equal(r_coo.edges, r_sb.edges)
+        np.testing.assert_allclose(r_coo.rob_variation, r_sb.rob_variation,
+                                   rtol=1e-9)
+        assert (r_coo.A_new != r_sb.A_new).nnz == 0
+        r_sf = greedy_krylov(A, 4, 13, c, order="min", tol=1e-8, mode=mode,
+                             backend="sharded_bsr", fused_steps=3)
+        np.testing.assert_array_equal(r_coo.edges, r_sf.edges)
+        assert (r_coo.A_new != r_sf.A_new).nnz == 0
+
+
 @pytest.mark.parametrize("mode", ["break", "make"])
 def test_greedy_fused_straggler_fallback(mode):
     """A fused budget too small for convergence (rounds=1 × round_len=3)

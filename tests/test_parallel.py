@@ -139,3 +139,46 @@ def test_row_sharded_ell_layout_matches_scipy():
     x = np.random.default_rng(3).standard_normal((150, 5))
     got = np.asarray(M @ jnp.asarray(x))
     np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_bsr_row_sharded_matches_scipy():
+    """BsrRowShardedMatrix (super-tile Pallas local SpMM under shard_map,
+    interpret mode): replicated matmul and value edits reproduce scipy on
+    1-D and 2-D ('cands') meshes with an odd n (row padding exercised)."""
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.parallel.mesh import make_mesh_2d
+    from krylov_robustness_tpu.parallel.spmm_sharded import BsrRowShardedMatrix
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    rng = np.random.default_rng(3)
+    n = 301
+    A = sp.random(n, n, density=0.03, random_state=7, format="csr")
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    A = sp.csr_matrix(A)
+    for mesh, ba in [(make_mesh(8), None), (make_mesh_2d(4, 2), "cands")]:
+        S = BsrRowShardedMatrix.from_scipy(
+            A, mesh, dtype=jnp.float64, batch_axis=ba, tile=(128, 128),
+            interpret=True)
+        x = rng.standard_normal((n, 8))
+        got = np.asarray(S @ jnp.asarray(x))
+        np.testing.assert_allclose(got, A @ x, rtol=1e-12, atol=1e-12)
+    # frozen-structure value edit: zero a symmetric pair
+    S = BsrRowShardedMatrix.from_scipy(A, make_mesh(8), dtype=jnp.float64,
+                                       tile=(128, 128), interpret=True)
+    rc = S.entry_rc()
+    pos = S.entry_positions()
+    i, j = rc[5]
+    sel = (((rc[:, 0] == i) & (rc[:, 1] == j))
+           | ((rc[:, 0] == j) & (rc[:, 1] == i)))
+    S.set_flat(pos[sel], 0.0)
+    A2 = A.copy()
+    A2[i, j] = 0
+    A2[j, i] = 0
+    A2.eliminate_zeros()
+    x = rng.standard_normal((n, 4))
+    np.testing.assert_allclose(np.asarray(S @ jnp.asarray(x)), A2 @ x,
+                               rtol=1e-12, atol=1e-12)
