@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..funm.dense import trace_fun_difference_eigs
+from ..funm.scalar import get_fun
 from ..krylov.lanczos import (
     LanczosBlocks,
     assemble_tridiag,
@@ -70,22 +71,39 @@ def sharded_bsr_rebuild(op, flat_vals):
         op, atiles=flat_vals.reshape(op.atiles.shape))
 
 
+# f32 eigenvalue-noise floor: spectra of the projected matrices carry
+# absolute error ~eps·‖G‖ whichever solver computes them (Sturm bisection
+# or eigh), so the lag difference of two independently-computed values
+# cannot resolve below ~O(100·eps)·trace_scale. Measured on ca-AstroPh
+# (scripts/probe_fused_floor.py): |fused−hostlane| p95 = 6.5e-5 with
+# trace_scale ≈ 1 → 512·eps_f32 = 6.1e-5 covers the bulk; the per-step
+# ok-flag fallback rescues the tail. The f64 lane needs no floor (its
+# spectra noise ~1e-13·scale sits below any practical tol).
+F32_FLOOR_REL = 512.0
+
+
 def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
                lag: int, bs: int, fun_name: str):
     """Score every candidate on device with early-exit over uniform rounds.
 
     Mirrors the host-lane bookkeeping of
     ``trace_update._trace_update_host_eigh`` (lag test, dtype floor,
-    best-iterate, dead flag); returns (delta, iters, converged)."""
+    best-iterate, dead flag); returns (delta, iters, converged).
+
+    Spectra: one batched solve per round over the STACKED
+    [tG_now, G_now, tG_lag, G_lag] matrices — Sturm banded bisection
+    (:func:`..ops.banded_eig.eigvalsh_banded`) in f32 (XLA's dense TPU
+    eigh was ~90% of the scoring step), LAPACK-backed eigh in f64."""
     batch = Cm.shape[0]
     dtype = Cm.dtype
     S = rounds * round_len
     k = Cm.shape[-1]
     Cs = (Cm + jnp.swapaxes(Cm, -1, -2)) / 2
     eps_m = jnp.finfo(dtype).eps
+    use_sturm = dtype == jnp.float32
     step_iota = jnp.arange(S)
 
-    def delta_at(Hbuf, Bbuf, m_used):
+    def G_at(Hbuf, Bbuf, m_used):
         # fixed-size assembly: blocks at steps >= m_used masked to zero, so
         # the projection is G_{m_used} ⊕ 0-pad (beta of the last kept step
         # is excluded — it would couple the real block into the pad)
@@ -98,10 +116,7 @@ def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
         )
         G = assemble_tridiag(blocks, bs=bs, m=S)
         G = (G + jnp.swapaxes(G, -1, -2)) / 2  # trace_fun_update.m:78-81
-        tG = G.at[:, :k, :k].add(Cs)
-        d1 = jnp.linalg.eigvalsh(tG)
-        d2 = jnp.linalg.eigvalsh(G)
-        return trace_fun_difference_eigs(d1, d2, fun_name, shift=shift)
+        return G
 
     def cond(c):
         r_idx = c[0]
@@ -118,11 +133,28 @@ def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
         Bbuf = jax.lax.dynamic_update_slice(
             Bbuf, blocks.beta, (r_idx * round_len, zero, zero, zero))
         m_done = (r_idx + 1) * round_len
-        x_lag = delta_at(Hbuf, Bbuf, m_done - lag)
-        x_now = delta_at(Hbuf, Bbuf, m_done)
+        G_now = G_at(Hbuf, Bbuf, m_done)
+        G_lag = G_at(Hbuf, Bbuf, m_done - lag)
+        tG_now = G_now.at[:, :k, :k].add(Cs)
+        tG_lag = G_lag.at[:, :k, :k].add(Cs)
+        stacked = jnp.concatenate([tG_now, G_now, tG_lag, G_lag], axis=0)
+        if use_sturm:
+            from ..ops.banded_eig import eigvalsh_banded
+
+            d = eigvalsh_banded(stacked, w=2 * bs - 1)
+        else:
+            d = jnp.linalg.eigvalsh(stacked)
+        d1n, d2n = d[:batch], d[batch:2 * batch]
+        d1l, d2l = d[2 * batch:3 * batch], d[3 * batch:]
+        x_now = trace_fun_difference_eigs(d1n, d2n, fun_name, shift=shift)
+        x_lag = trace_fun_difference_eigs(d1l, d2l, fun_name, shift=shift)
         err = jnp.abs(x_now - x_lag)
         dead = jnp.logical_not(state.alive)
         tol_eff = jnp.maximum(tol, 32.0 * eps_m * jnp.abs(x_now))
+        if use_sturm or dtype == jnp.float32:
+            fun = get_fun(fun_name)
+            fscale = jnp.sum(jnp.abs(fun(d1n - shift)), axis=-1)
+            tol_eff = jnp.maximum(tol_eff, F32_FLOOR_REL * eps_m * fscale)
         act = jnp.logical_not(conv)
         newly = jnp.logical_and(act, jnp.logical_or(err < tol_eff, dead))
         upd = jnp.logical_and(act, jnp.logical_or(err <= best_err, newly))

@@ -710,10 +710,13 @@ def _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
         keep = ~((top[:, 0] == i) & (top[:, 1] == j))
         top = top[keep]
 
+    # FIXED table size for the whole sweep: one compiled block program.
+    # (min(len(top), Q+R) would shrink as commits consume the candidate
+    # list, retracing the block every step near the end of the budget.)
+    nC_pad = -(-(Q + R) // pad_mult) * pad_mult
     while step < k:
         t0 = time.perf_counter()
-        nC = min(len(top), Q + R)
-        nC_pad = -(-nC // pad_mult) * pad_mult
+        nC = min(len(top), nC_pad)
         table = top[:nC]
         if nC_pad > nC:
             table = np.concatenate(
