@@ -155,11 +155,16 @@ def main(argv=None):
 
         run(out_dir=args.out_dir, dtype=dtype)
     elif args.cmd == "parity":
-        from .parity import run_expmv_parity, run_trace_tight
+        from .parity import (
+            run_expmv_parity,
+            run_trace_f32_lane,
+            run_trace_tight,
+        )
 
         run_expmv_parity(out_dir=args.out_dir,
                          dense_cutoff=args.dense_cutoff)
         run_trace_tight(out_dir=args.out_dir, tol=args.trace_tol)
+        run_trace_f32_lane(out_dir=args.out_dir)
     elif args.cmd == "scaling":
         import json
 

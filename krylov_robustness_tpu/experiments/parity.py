@@ -95,6 +95,52 @@ def run_expmv_parity(out_dir: str = "results", dense_cutoff: int = 2500,
     return out, log
 
 
+F32_LANE_COLUMNS = ["dataset", "n", "nnz", "platform", "sigma", "tol",
+                    "trace_host_f64", "trace_f32_lane", "rel_diff", "agree"]
+
+
+def run_trace_f32_lane(datasets=("as_735", "ca-CondMat"),
+                       out_dir: str = "results", tol: float = 1e-4,
+                       verbose=True):
+    """Golden consumer for the repaired f32 stochastic-trace lane
+    (VERDICT r4 item 7): the σ-shifted f32 ``mc_trace``/``expmv`` lane —
+    the one whose rank-guard runaway was root-caused and fixed in round 4
+    (results/NOTES_f32_mc_trace.md) — evaluated next to the certified host
+    f64 value on the hub graphs that broke it. Both values are in e^{-σ}
+    units; ``agree`` asserts the lanes match within the stochastic
+    tolerance (3·tol), so a future f32-lane regression surfaces in the
+    golden artifact, not just pytest (reference behavior
+    ``functions/trace_exp.m:5-6``)."""
+    import jax
+
+    from ..funm.normest import normest2_host
+    from ..funm.trace import trace_exp, trace_exp_host
+
+    log = ResultLog(out_dir, "trace_f32_lane", columns=F32_LANE_COLUMNS,
+                    key=("dataset",))
+    out = {}
+    for name in datasets:
+        A = preprocess_unweighted(load_misc(name))
+        sigma = float(normest2_host(A, tol=1e-2))
+        host = trace_exp_host(A, tol=tol, sigma=sigma)
+        M = CooMatrix.from_scipy(A, dtype=jnp.float32)
+        t0 = time.time()
+        dev = float(trace_exp(M, tol=tol, sigma=sigma))
+        dt = time.time() - t0
+        rel = abs(dev - host) / abs(host)
+        agree = rel < 3 * tol
+        log.append(dataset=name, n=A.shape[0], nnz=A.nnz,
+                   platform=jax.default_backend(), sigma=sigma, tol=tol,
+                   trace_host_f64=host, trace_f32_lane=dev, rel_diff=rel,
+                   agree=agree)
+        out[name] = rel
+        if verbose:
+            print(f"{name:12s} sigma={sigma:.2f} host_f64={host:.6e} "
+                  f"f32_lane={dev:.6e} rel_diff={rel:.2e} "
+                  f"agree={agree} [{dt:.1f}s]")
+    return out, log
+
+
 def run_trace_tight(datasets=None, out_dir: str = "results",
                     tol: float = 1e-6, maxit: int = 10000, verbose=True):
     """trace(exp(A)) with the stochastic tolerance tightened to the

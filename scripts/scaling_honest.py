@@ -67,20 +67,25 @@ for D in (1, 2):
     batch[D] = (dt, nnz * B / dt)
 batch_eff = scaling_efficiency(batch)
 
-# analytic ICI model for (a) on a v5e slice
+# analytic ICI model for (a) on a v5e slice — BOTH local-SpMM substrates
+# now exist in the sharded lane: XLA COO gather/segment-sum
+# (backend='sharded') and the super-tile Pallas kernel
+# (backend='sharded_bsr', round 5 — the 1.9x single-chip kernel as the
+# per-shard product). A faster local term RAISES comm/comp: the Pallas
+# lane is even more gather-bound, reinforcing the cands-first design.
 ici_gbps = 45e9  # per-link ICI bandwidth, v5e (scaling-book figure)
-kernel_rate = 29e9  # measured super-tile SpMM Gnnz*b/s (BENCH_r02)
+rates = {"xla_coo_local": 15.4e9,  # BENCH_r02 XLA baseline
+         "pallas_super_local": 29e9}  # measured super-tile (BENCH_r02..r04)
 comm = {}
 for D in (2, 4, 8):
     gather_bytes = (n - n / D) * B * 4
     t_comm = gather_bytes / ici_gbps
-    t_comp = nnz * B / D / kernel_rate
-    comm[D] = {
-        "gather_MB_per_dev": gather_bytes / 1e6,
-        "t_comm_ms": t_comm * 1e3,
-        "t_comp_ms": t_comp * 1e3,
-        "comm_to_comp": t_comm / t_comp,
-    }
+    comm[D] = {"gather_MB_per_dev": gather_bytes / 1e6,
+               "t_comm_ms": t_comm * 1e3}
+    for tag, kernel_rate in rates.items():
+        t_comp = nnz * B / D / kernel_rate
+        comm[D][f"t_comp_ms_{tag}"] = t_comp * 1e3
+        comm[D][f"comm_to_comp_{tag}"] = t_comm / t_comp
 
 out = {
     "dataset": "Vermont", "n": n, "nnz": nnz, "b": B, "dtype": "float32",
@@ -111,7 +116,18 @@ out = {
         "bound (two cores, one DRAM controller; SpMM is memory-bound), "
         "so they are a lower bound on chip-mesh efficiency; the honest "
         "multi-chip claim rests on the comm-volume model, the "
-        "MULTICHIP dryrun, and the 2-process jax.distributed smoke test."
+        "MULTICHIP dryrun, and the 2-process jax.distributed smoke test. "
+        "Round-5 updates: (1) the sharded lane's local SpMM can now be "
+        "the super-tile Pallas kernel (backend='sharded_bsr') — the model "
+        "carries both substrate rates; a 1.9x faster local term raises "
+        "comm/comp, so the cands-first conclusion is strengthened, and "
+        "on the cands axis the Pallas rate transfers 1:1 (zero per-SpMM "
+        "comm). (2) The fused multi-step greedy (optimize/fused.py) "
+        "removes the per-budget-step host round trip entirely (R steps "
+        "per dispatch: argmin + commit on device), so sweep wall on a "
+        "mesh is R*t_score + one dispatch, not R*(t_score + rtt) — "
+        "measured single-chip: 83 ms/step fused-BSR vs 458-593 ms "
+        "per-step (scripts/probe_fused_tpu.py)."
     ),
 }
 os.makedirs("results", exist_ok=True)
