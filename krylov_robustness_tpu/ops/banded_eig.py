@@ -58,11 +58,20 @@ def eigvalsh_banded(G: jax.Array, w: int = 3, iters: int | None = None
     hi0 = jnp.max(diag + radius, axis=-1)
     scale = jnp.maximum(jnp.maximum(jnp.abs(lo0), jnp.abs(hi0)),
                         jnp.asarray(1.0, dtype))
-    # LAPACK dstebz-style pivot clamp: overflow protection only — a
-    # near-zero pivot means x sits on a leading-submatrix eigenvalue
-    # (measure-zero in the bisection), not an accuracy event
-    safmin = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
-    pivmin = safmin * jnp.maximum(jnp.asarray(1.0, dtype), scale * scale)
+    # Pivot clamp at eps·scale — deliberately LARGER than LAPACK's
+    # safmin-style pivmin. With bandwidth > 1 the elimination is a Schur
+    # sweep, and a safmin clamp lets one near-singular pivot inject
+    # v²/pivmin ~ 1e36 into the window; the NEXT near-singular pivot then
+    # overflows v² to inf and the NaNs silently undercount every later
+    # sign change (observed: interior negative eigenvalues reported as 0
+    # on dead-candidate projections with large zero clusters). Clamping at
+    # eps·scale — the eigenvalue resolution floor — bounds the cascade at
+    # scale/eps per level, and the window saturation below caps the rest;
+    # counts are only perturbed within O(eps·‖T‖) of a submatrix
+    # singularity, which is below the bisection's accuracy anyway.
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    pivmin = eps * scale
+    sat = scale / eps  # window saturation bound
     big = 4.0 * scale  # sentinel diagonal for past-the-end window slots
 
     # appended column per sweep step j (window moves to cover c = j+w+1):
@@ -108,6 +117,9 @@ def eigvalsh_banded(G: jax.Array, w: int = 3, iters: int | None = None
             v = S[..., 1:, 0]  # (batch, L, w)
             S2 = (S[..., 1:, 1:]
                   - v[..., :, None] * v[..., None, :] / p[..., None, None])
+            # saturate the window: keeps consecutive clamped pivots finite
+            lim = sat[:, None, None, None]
+            S2 = jnp.clip(S2, -lim, lim)
             col = jnp.broadcast_to(a_off[:, None, :w], v.shape)
             d_new = jnp.where(real, a_diag[:, None] - x, a_diag[:, None])
             S = jnp.concatenate([

@@ -45,6 +45,39 @@ def test_clustered_and_multiple_eigenvalues():
     np.testing.assert_allclose(got, np.sort(d), atol=1e-10)
 
 
+def test_interior_zero_blocks_f32():
+    """Regression for the pivot-cascade undercount: dead-candidate
+    projections carry INTERIOR exact-zero rows/cols plus a large zero
+    cluster from the fixed-size pad; near-singular leading submatrices hit
+    the pivot clamp repeatedly, and a safmin-sized clamp let the Schur
+    window overflow to inf/NaN so NEGATIVE eigenvalues were silently
+    reported as 0 (observed on DC greedy scoring, round 5). The eps-scale
+    clamp + window saturation must keep the full f32 spectrum correct."""
+    rng = np.random.default_rng(11)
+    w = 3
+    M = 60
+    G = np.zeros((16, M, M))
+    for b in range(16):
+        # indefinite banded block of m_used rows with zero rows interleaved
+        m_used = 24
+        T = np.zeros((M, M))
+        for d in range(w + 1):
+            v = rng.standard_normal(m_used - d) * (4 if d == 0 else 2)
+            T[np.arange(m_used - d) + d, np.arange(m_used - d)] = v
+            T[np.arange(m_used - d), np.arange(m_used - d) + d] = v
+        # kill a few interior rows/cols exactly (lucky-breakdown structure)
+        for z in (7, 8, 15):
+            T[z, :] = 0.0
+            T[:, z] = 0.0
+        G[b] = T
+    got = np.sort(np.asarray(
+        eigvalsh_banded(jnp.asarray(G, jnp.float32), w=w)), axis=-1)
+    ref = np.sort(np.linalg.eigvalsh(G), axis=-1)
+    assert np.abs(got - ref).max() < 5e-5 * np.abs(ref).max()
+    # the negative half of the spectrum must be present (the bug zeroed it)
+    assert (got < -0.5).sum() == (ref < -0.5).sum()
+
+
 def test_tridiagonal_bandwidth_one():
     """w=1 (plain tridiagonal) against LAPACK."""
     rng = np.random.default_rng(7)
