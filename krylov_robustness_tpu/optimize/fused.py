@@ -72,14 +72,16 @@ def sharded_bsr_rebuild(op, flat_vals):
 
 
 # f32 eigenvalue-noise floor: spectra of the projected matrices carry
-# absolute error ~eps·‖G‖ whichever solver computes them (Sturm bisection
-# or eigh), so the lag difference of two independently-computed values
-# cannot resolve below ~O(100·eps)·trace_scale. Measured on ca-AstroPh
-# (scripts/probe_fused_floor.py): |fused−hostlane| p95 = 6.5e-5 with
-# trace_scale ≈ 1 → 512·eps_f32 = 6.1e-5 covers the bulk; the per-step
-# ok-flag fallback rescues the tail. The f64 lane needs no floor (its
-# spectra noise ~1e-13·scale sits below any practical tol).
-F32_FLOOR_REL = 512.0
+# per-eigenvalue error δd ≈ c·eps·‖G‖ whichever solver computes them
+# (Sturm bisection or eigh), so the lag difference of two
+# independently-computed trace values cannot resolve below
+# ~c·eps·‖G‖·Σ|f'(d−σ)| ≈ C·eps·gnorm·fscale. Calibrated on ca-AstroPh
+# (scripts/probe_fused_floor.py): |fused−hostlane| p95 = 6.5e-5 at
+# gnorm ≈ 94, fscale ≈ 1 → C = 6 gives 6.8e-5. The gnorm factor matters:
+# on unshifted road networks (gnorm ≈ 4, fscale ≈ 100) a gnorm-free
+# floor was 20× too loose and flipped near-tie picks mid-sweep. The f64
+# lane needs no floor (its spectra noise sits below any practical tol).
+F32_FLOOR_REL = 6.0
 
 
 def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
@@ -154,7 +156,9 @@ def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
         if use_sturm or dtype == jnp.float32:
             fun = get_fun(fun_name)
             fscale = jnp.sum(jnp.abs(fun(d1n - shift)), axis=-1)
-            tol_eff = jnp.maximum(tol_eff, F32_FLOOR_REL * eps_m * fscale)
+            gnorm = jnp.max(jnp.abs(d1n), axis=-1)
+            tol_eff = jnp.maximum(
+                tol_eff, F32_FLOOR_REL * eps_m * gnorm * fscale)
         act = jnp.logical_not(conv)
         newly = jnp.logical_and(act, jnp.logical_or(err < tol_eff, dead))
         upd = jnp.logical_and(act, jnp.logical_or(err <= best_err, newly))

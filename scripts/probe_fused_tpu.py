@@ -31,10 +31,16 @@ def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "coo"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    dataset = sys.argv[4] if len(sys.argv) > 4 else "ca-AstroPh"
 
-    print(f"platform={jax.default_backend()} backend={backend} k={k} R={R}",
-          flush=True)
-    A = preprocess_unweighted(load_misc("ca-AstroPh"))
+    print(f"platform={jax.default_backend()} backend={backend} k={k} R={R} "
+          f"dataset={dataset}", flush=True)
+    try:
+        A = preprocess_unweighted(load_misc(dataset))
+    except Exception:
+        from krylov_robustness_tpu.graphs.io import load_transport
+
+        A = preprocess_unweighted(load_transport(dataset))
     lognrm = float(normest2_host(A, tol=1e-2))
     sigma = lognrm if lognrm > 20.0 else 0.0
     tol_abs = 1e-6 * float(np.exp(lognrm - sigma))
