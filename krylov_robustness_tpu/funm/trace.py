@@ -29,9 +29,17 @@ def _rademacher(key, shape, dtype):
     ).astype(dtype)
 
 
+def _dot(a, b):
+    """Full-precision matmul: TPU's DEFAULT matmul precision is bfloat16,
+    which put ~5.6e-4 relative error into the deflation projections on the
+    real chip (CPU-f32 lane: 1.2e-5) — above the golden agreement gate.
+    The projector and trace dots must run at HIGHEST."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _project(Qacc, x):
     """x − Q (Qᵀ x) with a zero-padded accumulated basis."""
-    return x - Qacc @ (Qacc.T @ x)
+    return x - _dot(Qacc, _dot(Qacc.T, x))
 
 
 def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, scale,
@@ -67,13 +75,13 @@ def _mc_trace_iteration(op: Callable, key, Qacc, tr, t_idx, scale,
         scale, jnp.asarray(1e-300, dtype))
     kept = jnp.sum(keep)
     Q = Q * keep[None, :].astype(dtype)
-    tr = tr + jnp.trace(Q.T @ defl_op(Q))
+    tr = tr + jnp.trace(_dot(Q.T, defl_op(Q)))
     Qacc = jax.lax.dynamic_update_slice(Qacc, Q, (0, t_idx * m_probe))
 
     def defl_op2(x):
         return _project(Qacc, op(_project(Qacc, x)))
 
-    tr_new = tr + jnp.trace(G.T @ defl_op2(G)) / m_probe
+    tr_new = tr + jnp.trace(_dot(G.T, defl_op2(G))) / m_probe
     return tr, tr_new, Qacc, scale, kept
 
 

@@ -459,6 +459,40 @@ def test_greedy_sharded_bsr_backend_matches_coo():
         assert (r_coo.A_new != r_sf.A_new).nnz == 0
 
 
+def test_greedy_fused_sinh_and_f32_floor():
+    """Fused lane with a non-exp matrix function (sinh) in f64, and the
+    f32 Sturm + gnorm-scaled floor path (the TPU configuration) — both
+    must reproduce the per-step loop's picks."""
+    import jax.numpy as jnp
+
+    n = 150
+    rng = np.random.default_rng(23)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 80)])
+    dst = np.concatenate([i + 1, np.zeros(80, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 80)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+    r1 = greedy_krylov(A, 5, 20, c, order="min", tol=1e-8, mode="break",
+                       backend="coo", fun="sinh")
+    r2 = greedy_krylov(A, 5, 20, c, order="min", tol=1e-8, mode="break",
+                       backend="coo", fun="sinh", fused_steps=3)
+    np.testing.assert_array_equal(r1.edges, r2.edges)
+    # f32 + Sturm + floor (the production TPU dtype) on the same graph
+    lam = float(np.max(np.linalg.eigvalsh(A.toarray())))
+    tol32 = 1e-6 * float(np.exp(lam))
+    r3 = greedy_krylov(A, 5, 20, c, order="min", tol=tol32, mode="break",
+                       backend="coo", dtype=jnp.float32)
+    r4 = greedy_krylov(A, 5, 20, c, order="min", tol=tol32, mode="break",
+                       backend="coo", dtype=jnp.float32, fused_steps=3)
+    np.testing.assert_array_equal(r3.edges, r4.edges)
+
+
 @pytest.mark.parametrize("mode", ["break", "make"])
 def test_greedy_fused_straggler_fallback(mode):
     """A fused budget too small for convergence (rounds=1 × round_len=3)
