@@ -79,12 +79,13 @@ def main(argv=None):
     u.add_argument("--rescore-frac", type=float, default=0.2,
                    help="fraction of candidates scored fresh between full "
                    "rescores")
-    u.add_argument("--fused-steps", type=int, default=0,
+    u.add_argument("--fused-steps", type=int, default=None,
                    help="greedy steps fused per device dispatch (on-device "
                    "argmin + commit, optimize/fused.py); 0/1 = per-step "
-                   "loop. Picks match the per-step loop; steps with "
-                   "convergence stragglers past the fused budget replay "
-                   "through the accurate path")
+                   "loop; default auto = 10 on --tpu (f32) sessions, 0 on "
+                   "the CPU f64 golden lane. Picks match the per-step "
+                   "loop; steps with convergence stragglers past the fused "
+                   "budget replay through the accurate path")
 
     b = sub.add_parser("budget", help="Figures 1-4 budget sweeps")
     b.add_argument("--mode", choices=["break", "make"], default="break")

@@ -40,9 +40,11 @@ class UnweightedConfig:
     rescore_every: int = 1
     rescore_frac: float = 0.2
     # greedy steps fused per device dispatch (optimize/fused.py); 0/1 =
-    # per-step loop. Picks match the per-step protocol (straggler steps
-    # replay through the accurate path).
-    fused_steps: int = 0
+    # per-step loop; None = auto (10 on f32/TPU sessions — the production
+    # lane, pick-identity to the per-step loop verified on chip for both
+    # modes — 0 on the f64 golden lane, which keeps exact per-step
+    # semantics). Straggler steps replay through the accurate path.
+    fused_steps: int | None = None
 
 
 @dataclasses.dataclass

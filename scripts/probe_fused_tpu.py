@@ -32,9 +32,10 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dataset = sys.argv[4] if len(sys.argv) > 4 else "ca-AstroPh"
+    mode = sys.argv[5] if len(sys.argv) > 5 else "break"
 
     print(f"platform={jax.default_backend()} backend={backend} k={k} R={R} "
-          f"dataset={dataset}", flush=True)
+          f"dataset={dataset} mode={mode}", flush=True)
     try:
         A = preprocess_unweighted(load_misc(dataset))
     except Exception:
@@ -50,7 +51,7 @@ def main():
     t0 = time.time()
     r_fused = greedy_krylov(
         A, k=k, Q=250, centrality=cent, order="min", tol=tol_abs,
-        mode="break", dtype=jnp.float32, backend=backend, shift=sigma,
+        mode=mode, dtype=jnp.float32, backend=backend, shift=sigma,
         fused_steps=R)
     t_fused = time.time() - t0
     # first block includes compile; steady-state = later blocks
@@ -64,7 +65,7 @@ def main():
     t0 = time.time()
     r_step = greedy_krylov(
         A, k=k, Q=250, centrality=cent, order="min", tol=tol_abs,
-        mode="break", dtype=jnp.float32, backend=backend, shift=sigma)
+        mode=mode, dtype=jnp.float32, backend=backend, shift=sigma)
     t_step = time.time() - t0
     s2 = np.asarray(r_step.per_step_time)
     print(f"per-step: total {t_step:.1f}s median step "

@@ -256,3 +256,46 @@ def test_greedy_checkpoint_resume_with_score_reuse(tmp_path):
     np.testing.assert_array_equal(resumed.edges, full.edges)
     np.testing.assert_allclose(resumed.rob_variation, full.rob_variation,
                                rtol=1e-10)
+
+
+def test_greedy_checkpoint_resume_fused(tmp_path):
+    """Resume × fused blocks: a sweep killed mid-budget must resume through
+    `_greedy_loop_fused`'s replay path (re-apply edits, shrink the search
+    space) and reproduce the uninterrupted fused sweep edge-for-edge."""
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.graphs.centrality import compute_centrality
+    from krylov_robustness_tpu.ops.sparse import CooMatrix
+    from krylov_robustness_tpu.optimize.greedy import greedy_krylov
+
+    # past the dense cutoff so the fused lane actually engages
+    n = 150
+    rng = np.random.default_rng(23)
+    i = np.arange(n - 1)
+    src = np.concatenate([i, rng.integers(0, n - 21, 80)])
+    dst = np.concatenate([i + 1, np.zeros(80, np.int64)])
+    dst[n - 1:] = src[n - 1:] + rng.integers(1, 20, 80)
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    M = CooMatrix.from_scipy(A)
+    c = compute_centrality(M, "eig")
+
+    full = greedy_krylov(A, 6, 20, c, order="min", tol=1e-8, mode="break",
+                         fused_steps=3)
+
+    ckpt_path = tmp_path / "ck.json"
+    ck = GreedyCheckpoint(ckpt_path)
+    ck.save("tiny", 2, [tuple(e) for e in full.edges[:2]],
+            float(np.sum(full.per_step_delta[:2])),
+            extra={"deltas": full.per_step_delta[:2].tolist(),
+                   "iters": full.per_step_iters[:2].tolist()})
+    resumed = greedy_krylov(A, 6, 20, c, order="min", tol=1e-8, mode="break",
+                            checkpoint=ck, dataset="tiny", fused_steps=3)
+    np.testing.assert_array_equal(resumed.edges, full.edges)
+    np.testing.assert_allclose(resumed.rob_variation, full.rob_variation,
+                               rtol=1e-10)
+    assert (full.A_new != resumed.A_new).nnz == 0
+    assert not ckpt_path.exists()
