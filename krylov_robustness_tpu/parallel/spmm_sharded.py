@@ -280,18 +280,18 @@ class BsrRowShardedMatrix:
         return (self.atiles, self.slab, self.sup, self.start), (
             self.mesh, self.n, self.n_orig, self.nnz, self.m_pad,
             self.n_pad, self.axis, self.batch_axis, self.mode, self.dtype,
-            self.interpret, self._hm,
+            self.interpret, self._hm, self.n_diag,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         atiles, slab, sup, start = children
         (mesh, n, n_orig, nnz, m_pad, n_pad, axis, batch_axis, mode, dtype,
-         interpret, hm) = aux
+         interpret, hm, n_diag) = aux
         return cls(mesh=mesh, atiles=atiles, slab=slab, sup=sup, start=start,
                    n=n, n_orig=n_orig, nnz=nnz, m_pad=m_pad, n_pad=n_pad,
                    axis=axis, batch_axis=batch_axis, mode=mode, dtype=dtype,
-                   interpret=interpret, _hm=hm)
+                   interpret=interpret, _hm=hm, n_diag=n_diag)
 
     mesh: Mesh
     atiles: jax.Array  # (D, ntile_u, tile_r, tile_c) row-sharded
@@ -309,6 +309,13 @@ class BsrRowShardedMatrix:
     dtype: object = jnp.float32  # compute dtype of the SpMM
     interpret: bool = False
     _hm: object = None  # _HostMeta: entry_flat/entry_rc for value edits
+    # gather/compute overlap (SURVEY §7 "hard parts"): tiles [0, n_diag)
+    # read only the shard's OWN column window (rows padded to a multiple of
+    # D·tile_c so slabs align with shards — their slab index is stored
+    # window-RELATIVE) and run on local x while the all_gather for the
+    # off-shard tiles [n_diag, ntile_u) is in flight. n_diag = 0 disables
+    # the split (single full-x pass).
+    n_diag: int = 0
 
     @property
     def rows_per_shard(self) -> int:
@@ -321,7 +328,8 @@ class BsrRowShardedMatrix:
     @staticmethod
     def from_scipy(A, mesh: Mesh, dtype=jnp.float32, axis: str = "rows",
                    batch_axis: str | None = None, tile=(512, 256),
-                   mode: str = "auto", interpret: bool = False):
+                   mode: str = "auto", interpret: bool = False,
+                   overlap: bool = True):
         import scipy.sparse as sp
 
         from ..ops.pallas_bsr_super import pack_bsr_super_block
@@ -330,26 +338,70 @@ class BsrRowShardedMatrix:
         A.sort_indices()
         n_orig = A.shape[0]
         D = mesh.shape[axis]
-        n = _round_up(n_orig, D)
-        rps = n // D
         tr, tc = tile
+        overlap = bool(overlap) and D > 1
+        # overlap mode pads rows to a multiple of D·tile_c so column slabs
+        # align exactly with shards: every slab is wholly local to one
+        # shard, and the diag tile set reads only local x
+        n = _round_up(n_orig, D * tc if overlap else D)
+        rps = n // D
         # pad to (n, n) so every shard block is exactly (rps, n)
         pad = n - n_orig
         Ap = sp.csr_matrix(
             (A.data, A.indices,
              np.concatenate([A.indptr, np.full(pad, A.indptr[-1])])),
             shape=(n, n))
-        packs = [pack_bsr_super_block(Ap[d * rps:(d + 1) * rps, :], tr, tc)
-                 for d in range(D)]
-        ntile_u = max(p[0].shape[0] for p in packs)
-        m_pad, n_pad = packs[0][4]
+
+        def split_block(d):
+            """Shard d's row block, split into (diag, off) by column
+            locality; diag columns are window-RELATIVE."""
+            blk = sp.coo_matrix(Ap[d * rps:(d + 1) * rps, :])
+            lo, hi = d * rps, (d + 1) * rps
+            is_loc = (blk.col >= lo) & (blk.col < hi)
+            diag = sp.coo_matrix(
+                (blk.data[is_loc],
+                 (blk.row[is_loc], blk.col[is_loc] - lo)),
+                shape=(rps, rps))
+            off = sp.coo_matrix(
+                (blk.data[~is_loc], (blk.row[~is_loc], blk.col[~is_loc])),
+                shape=(rps, n))
+            return diag, off
+
+        packs_d, packs_o, rcs = [], [], []
+        for d in range(D):
+            if overlap:
+                diag, off = split_block(d)
+                pd = pack_bsr_super_block(diag, tr, tc)
+                po = pack_bsr_super_block(off, tr, tc)
+                lo = d * rps
+                rc_d = np.stack([sp.coo_matrix(diag).row + lo,
+                                 sp.coo_matrix(diag).col + lo], axis=1)
+                rc_o = np.stack([sp.coo_matrix(off).row + lo,
+                                 sp.coo_matrix(off).col], axis=1)
+            else:
+                blk = Ap[d * rps:(d + 1) * rps, :]
+                pd = pack_bsr_super_block(blk, tr, tc)
+                po = None
+                C = sp.coo_matrix(blk)
+                rc_d = np.stack([C.row + d * rps, C.col], axis=1)
+                rc_o = np.zeros((0, 2), np.int64)
+            packs_d.append(pd)
+            packs_o.append(po)
+            rcs.append((rc_d, rc_o))
+        ntd_u = max(p[0].shape[0] for p in packs_d)
+        nto_u = max((p[0].shape[0] for p in packs_o if p is not None),
+                    default=0)
+        ntile_u = ntd_u + nto_u
+        m_pad = packs_d[0][4][0]
+        n_pad = packs_o[0][4][1] if overlap else packs_d[0][4][1]
         atiles = np.zeros((D, ntile_u, tr, tc), np.float64)
         slab = np.zeros((D, ntile_u), np.int32)
         sup = np.zeros((D, ntile_u), np.int32)
         start = np.zeros((D, ntile_u), np.int32)
         entry_flat_parts = []
         entry_rc_parts = []
-        for d, (at, (sl, su, st), et, eo, _) in enumerate(packs):
+        for d in range(D):
+            at, (sl, su, st), et, eo, _ = packs_d[d]
             k = at.shape[0]
             atiles[d, :k] = at
             slab[d, :k] = sl
@@ -358,11 +410,18 @@ class BsrRowShardedMatrix:
             # pad tiles: all-zero, accumulate into super 0 (never a start —
             # they run after the real tiles, adding 0 to an already-written
             # y tile)
-            entry_flat_parts.append(
-                (d * ntile_u + et) * (tr * tc) + eo)
-            blk = sp.coo_matrix(Ap[d * rps:(d + 1) * rps, :])
-            entry_rc_parts.append(
-                np.stack([blk.row + d * rps, blk.col], axis=1))
+            entry_flat_parts.append((d * ntile_u + et) * (tr * tc) + eo)
+            entry_rc_parts.append(rcs[d][0])
+            if packs_o[d] is not None:
+                at, (sl, su, st), et, eo, _ = packs_o[d]
+                k = at.shape[0]
+                atiles[d, ntd_u:ntd_u + k] = at
+                slab[d, ntd_u:ntd_u + k] = sl
+                sup[d, ntd_u:ntd_u + k] = su
+                start[d, ntd_u:ntd_u + k] = st
+                entry_flat_parts.append(
+                    (d * ntile_u + ntd_u + et) * (tr * tc) + eo)
+                entry_rc_parts.append(rcs[d][1])
         entry_flat = np.concatenate(entry_flat_parts)
         entry_rc = np.concatenate(entry_rc_parts, axis=0)
         if mode == "auto":
@@ -382,7 +441,8 @@ class BsrRowShardedMatrix:
             start=jax.device_put(jnp.asarray(start), sh),
             n=n, n_orig=n_orig, nnz=int(A.nnz), m_pad=m_pad, n_pad=n_pad,
             axis=axis, batch_axis=batch_axis, mode=mode, dtype=dtype,
-            interpret=interpret, _hm=hm)
+            interpret=interpret, _hm=hm,
+            n_diag=ntd_u if overlap else 0)
 
     # -- frozen-structure value edits ---------------------------------------
     def entry_positions(self) -> np.ndarray:
@@ -419,22 +479,39 @@ class BsrRowShardedMatrix:
         mode = self.mode
         interpret = self.interpret
         m_pad, n_pad = self.m_pad, self.n_pad
+        nd = self.n_diag
+
+        def one_pass(meta, tiles, xp):
+            if mode.startswith("bf16x"):
+                return _tile_spmm_bf16(meta, tiles, xp, n_pad_y=m_pad,
+                                       terms=int(mode[-1]),
+                                       interpret=interpret)
+            return _tile_spmm_f32(meta, tiles, xp, n_pad_y=m_pad,
+                                  interpret=interpret)
 
         def kern(slab, sup, start, atiles, x_l):
             b_l = x_l.shape[1]
             b_p = _round_up(b_l, BLK)
-            # issue the collective first; tile DMA setup is independent
+            # issue the collective first; everything on the diag path is
+            # independent of it, so the local pass runs while the ICI
+            # transfer is in flight (SURVEY §7 overlap)
             x_full = jax.lax.all_gather(x_l, axis, axis=0, tiled=True)
-            xp = jnp.zeros((n_pad, b_p), compute)
-            xp = xp.at[:x_full.shape[0], :b_l].set(x_full.astype(compute))
-            meta = (slab[0], sup[0], start[0])
-            if mode.startswith("bf16x"):
-                y = _tile_spmm_bf16(meta, atiles[0], xp, n_pad_y=m_pad,
-                                    terms=int(mode[-1]),
-                                    interpret=interpret)
+            if nd:
+                xd = jnp.zeros((rps, b_p), compute)
+                xd = xd.at[:, :b_l].set(x_l.astype(compute))
+                y = one_pass((slab[0, :nd], sup[0, :nd], start[0, :nd]),
+                             atiles[0, :nd], xd)
+                xo = jnp.zeros((n_pad, b_p), compute)
+                xo = xo.at[:x_full.shape[0], :b_l].set(
+                    x_full.astype(compute))
+                y = y + one_pass(
+                    (slab[0, nd:], sup[0, nd:], start[0, nd:]),
+                    atiles[0, nd:], xo)
             else:
-                y = _tile_spmm_f32(meta, atiles[0], xp, n_pad_y=m_pad,
-                                   interpret=interpret)
+                xp = jnp.zeros((n_pad, b_p), compute)
+                xp = xp.at[:x_full.shape[0], :b_l].set(
+                    x_full.astype(compute))
+                y = one_pass((slab[0], sup[0], start[0]), atiles[0], xp)
             return y[:rps, :b_l].astype(x_l.dtype)
 
         # jax.shard_map (not the deprecated experimental alias): pallas_call's
