@@ -7,8 +7,9 @@ the discrete/continuous robustness optimizers built on them.
 
 Layer map (bottom-up; reference counterparts in parentheses):
 
-  ops       sparse containers + SpMM kernels, incl. banded-ELL Pallas
-            (MATLAB built-in sparse A*w)
+  ops       sparse containers + SpMM kernels (banded-ELL / BSR / super-tile
+            Pallas MXU) + the Sturm banded eigensolver for projected
+            spectra (MATLAB built-in sparse A*w, eig)
   krylov    batched block Lanczos / Arnoldi scans
             (lanczos_krylov.m / arnoldi_krylov.m)
   funm      expmv + theta table, norm estimators, stochastic trace, dense f
@@ -19,11 +20,13 @@ Layer map (bottom-up; reference counterparts in parentheses):
             edge2low_rank.m)
   graphs    dataset IO, preprocessing, centralities, candidate selection
             (compute_centrality.m, find_top_edges.m, find_top_missing_edges.m)
-  optimize  greedy break/make + continuous tuning/rewire/add
+  optimize  greedy break/make (per-step + fused multi-step device blocks)
+            + continuous tuning/rewire/add
             (greedy_krylov.m, krylov_miobi.m, fun_and_grad_krylov_*.m,
             hessianfcn_*.m + fmincon)
   baselines MIOBI family + EIGENV heuristic (MIOBI Codes/, inlined EIGENV)
-  parallel  mesh + row-sharded SpMM + collectives (new scope)
+  parallel  mesh + row-sharded SpMM (COO/ELL/Pallas-BSR local kernels with
+            gather/compute overlap) + collectives (new scope)
   experiments  paper-protocol drivers (Tests/*.m)
   utils     configs, logging, checkpointing (new scope)
 """
