@@ -11,6 +11,8 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_enable_x64", True)  # f64 SpMM check below
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from krylov_robustness_tpu.parallel.mesh import (  # noqa: E402
@@ -46,6 +48,33 @@ def main():
     total = float(jax.device_get(allsum(glob).addressable_data(0))[0])
     assert total == 3.0, total  # saw both processes' rows
     print(f"proc {pid}: psum over 2-process mesh ok ({total})")
+
+    # real sharded SpMM across the two PROCESSES (the DCN-analog path of
+    # SURVEY.md §5.8, one step up from the psum smoke): row-partitioned
+    # operator, all_gather(x) crossing the process boundary, each process
+    # checks its own row shard against scipy
+    import numpy as np
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.parallel.spmm_sharded import RowShardedMatrix
+
+    rng = np.random.default_rng(7)  # same graph on both processes
+    n = 64
+    A = sp.random(n, n, density=0.08, random_state=3, format="csr")
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A.eliminate_zeros()
+    A = sp.csr_matrix(A)
+    S = RowShardedMatrix.from_scipy(A, mesh, dtype=jnp.float64)
+    x = rng.standard_normal((n, 3))
+    y = S @ jnp.asarray(x)
+    ref = A @ x
+    rps = n // 2
+    mine = np.asarray(jax.device_get(y.addressable_data(0)))
+    want = ref[pid * rps:(pid + 1) * rps]
+    err = float(np.abs(mine - want).max())
+    assert err < 1e-12, err
+    print(f"proc {pid}: 2-process row-sharded SpMM ok (max err {err:.1e})")
 
 
 if __name__ == "__main__":

@@ -46,3 +46,6 @@ def test_two_process_distributed_psum():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
     assert any("psum over 2-process mesh ok" in o for o in outs)
+    # the DCN-analog step: a row-sharded SpMM whose all_gather crosses the
+    # process boundary, validated per-shard on both processes
+    assert all("2-process row-sharded SpMM ok" in o for o in outs)
