@@ -153,7 +153,7 @@ def _score_all(A, state0, Cm, tol, shift, *, rounds: int, round_len: int,
         err = jnp.abs(x_now - x_lag)
         dead = jnp.logical_not(state.alive)
         tol_eff = jnp.maximum(tol, 32.0 * eps_m * jnp.abs(x_now))
-        if use_sturm or dtype == jnp.float32:
+        if use_sturm:  # == f32: the noise floor and Sturm are both f32-tied
             fun = get_fun(fun_name)
             fscale = jnp.sum(jnp.abs(fun(d1n - shift)), axis=-1)
             gnorm = jnp.max(jnp.abs(d1n), axis=-1)

@@ -319,26 +319,17 @@ class _ShardedBsrFrozenMatrix:
         out.eliminate_zeros()
         return out
 
-    # -- fused multi-step hooks ---------------------------------------------
-    def fused_state(self):
-        return self.op, self.op.atiles.reshape(-1)
+    # -- fused multi-step hooks: fused_state/set_fused_vals are shared with
+    # the single-chip BSR adapter (assigned after _BsrAdapter below — flat
+    # tile-storage view over self.op), fused_slots with the COO lookup;
+    # only the rebuild differs (dataclass replace vs tree_unflatten)
+    fused_slots = _FrozenStructureMatrix.fused_slots
 
     @staticmethod
     def fused_rebuild(op, flat_vals):
         from .fused import sharded_bsr_rebuild
 
         return sharded_bsr_rebuild(op, flat_vals)
-
-    def fused_slots(self, E: np.ndarray) -> np.ndarray:
-        out = np.empty((len(E), 2), np.int64)
-        for r, (i, j) in enumerate(E):
-            out[r, 0] = self._pos[(int(i), int(j))]
-            out[r, 1] = (self._pos[(int(j), int(i))] if i != j
-                         else out[r, 0])
-        return out
-
-    def set_fused_vals(self, flat_vals):
-        self.op.atiles = flat_vals.reshape(self.op.atiles.shape)
 
 
 class _BandedAdapter:
@@ -415,6 +406,12 @@ class _BsrAdapter(_BandedAdapter):
         ).tocsr()
         out.eliminate_zeros()
         return out
+
+
+# shared flat-tile-storage hooks (both wrap an operator at self.op whose
+# frozen-structure values live in op.atiles)
+_ShardedBsrFrozenMatrix.fused_state = _BsrAdapter.fused_state
+_ShardedBsrFrozenMatrix.set_fused_vals = _BsrAdapter.set_fused_vals
 
 
 def krylov_miobi(
@@ -714,52 +711,69 @@ def _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol, rescale, schedule,
     # (min(len(top), Q+R) would shrink as commits consume the candidate
     # list, retracing the block every step near the end of the budget.)
     nC_pad = -(-(Q + R) // pad_mult) * pad_mult
+    # persistent-straggler bail-out: a dataset whose window candidates
+    # routinely outlive the fused Krylov budget would otherwise pay a full
+    # discarded R-step block before EVERY accurate replay; after two
+    # consecutive zero-accept blocks, devolve to per-step scoring for the
+    # rest of the sweep
+    consec_bad = 0
+    devolved = False
     while step < k:
-        t0 = time.perf_counter()
-        nC = min(len(top), nC_pad)
-        table = top[:nC]
-        if nC_pad > nC:
-            table = np.concatenate(
-                [table, np.repeat(table[:1], nC_pad - nC, axis=0)])
-        alive = np.zeros(nC_pad, bool)
-        alive[:nC] = True
-        mapped = np.asarray(F.map_edges(table))
-        slots = F.fused_slots(mapped)
-        op, vals = F.fused_state()
-        vals_f, alive_f, (hs, dls, its, oks, nfs) = fused_greedy_block(
-            op, vals, jnp.asarray(mapped), jnp.asarray(slots),
-            jnp.asarray(alive), commit, tol, shift, sign, rescale,
-            rebuild=F.fused_rebuild, Q=Q, R=R, mode=mode, fun_name=fun_name,
-            rounds=rounds, round_len=round_len)
-        hs, dls = np.asarray(hs), np.asarray(dls)
-        its, oks, nfs = np.asarray(its), np.asarray(oks), np.asarray(nfs)
-        want = min(R, k - step)
         acc = 0
-        while acc < want and oks[acc]:
-            acc += 1
-        if np.any(nfs[:max(acc, 1)]):
-            warnings.warn(
-                f"fused greedy {dataset}: non-finite candidate scores in "
-                f"steps {step}..{step + acc} (excluded from the argmin)",
-                RuntimeWarning)
-        t_per = (time.perf_counter() - t0) / max(acc, 1)
-        for r in range(acc):
-            h = int(hs[r])
-            record(table[h, 0], table[h, 1], dls[r], its[r], t_per)
-            shrink(table[h, 0], table[h, 1])
-        if acc == R:
-            F.set_fused_vals(vals_f)
-        elif acc > 0:
-            idxs = slots[hs[:acc]].reshape(-1)
-            F.set_fused_vals(
-                vals.at[jnp.asarray(idxs)].set(
-                    jnp.asarray(commit, vals.dtype)))
-        step += acc
-        if checkpoint is not None and acc:
-            checkpoint.save(dataset, step, chosen, rob,
-                            extra={"deltas": deltas, "iters": iters,
-                                   "times": times})
-        if acc < want and not oks[acc]:
+        want = min(R, k - step)
+        if not devolved:
+            t0 = time.perf_counter()
+            nC = min(len(top), nC_pad)
+            table = top[:nC]
+            if nC_pad > nC:
+                table = np.concatenate(
+                    [table, np.repeat(table[:1], nC_pad - nC, axis=0)])
+            alive = np.zeros(nC_pad, bool)
+            alive[:nC] = True
+            mapped = np.asarray(F.map_edges(table))
+            slots = F.fused_slots(mapped)
+            op, vals = F.fused_state()
+            vals_f, alive_f, (hs, dls, its, oks, nfs) = fused_greedy_block(
+                op, vals, jnp.asarray(mapped), jnp.asarray(slots),
+                jnp.asarray(alive), commit, tol, shift, sign, rescale,
+                rebuild=F.fused_rebuild, Q=Q, R=R, mode=mode,
+                fun_name=fun_name, rounds=rounds, round_len=round_len)
+            hs, dls = np.asarray(hs), np.asarray(dls)
+            its = np.asarray(its)
+            oks, nfs = np.asarray(oks), np.asarray(nfs)
+            while acc < want and oks[acc]:
+                acc += 1
+            if np.any(nfs[:max(acc, 1)]):
+                warnings.warn(
+                    f"fused greedy {dataset}: non-finite candidate scores "
+                    f"in steps {step}..{step + acc} (excluded from the "
+                    "argmin)", RuntimeWarning)
+            t_per = (time.perf_counter() - t0) / max(acc, 1)
+            for r in range(acc):
+                h = int(hs[r])
+                record(table[h, 0], table[h, 1], dls[r], its[r], t_per)
+                shrink(table[h, 0], table[h, 1])
+            if acc == R:
+                F.set_fused_vals(vals_f)
+            elif acc > 0:
+                idxs = slots[hs[:acc]].reshape(-1)
+                F.set_fused_vals(
+                    vals.at[jnp.asarray(idxs)].set(
+                        jnp.asarray(commit, vals.dtype)))
+            step += acc
+            if checkpoint is not None and acc:
+                checkpoint.save(dataset, step, chosen, rob,
+                                extra={"deltas": deltas, "iters": iters,
+                                       "times": times})
+            consec_bad = consec_bad + 1 if acc == 0 else 0
+            if consec_bad >= 2:
+                devolved = True
+                warnings.warn(
+                    f"fused greedy {dataset}: convergence stragglers "
+                    f"outlive the fused budget persistently at step {step};"
+                    " devolving to per-step scoring for the remaining "
+                    "budget", RuntimeWarning)
+        if devolved or (acc < want and not oks[acc]):
             # convergence straggler in this step's window: score it through
             # the accurate per-step path (full straggler extension)
             t1 = time.perf_counter()

@@ -396,7 +396,13 @@ class BsrRowShardedMatrix:
         n_pad = packs_o[0][4][1] if overlap else packs_d[0][4][1]
         atiles = np.zeros((D, ntile_u, tr, tc), np.float64)
         slab = np.zeros((D, ntile_u), np.int32)
-        sup = np.zeros((D, ntile_u), np.int32)
+        # pad tiles (all-zero, start=0) must continue the LAST real
+        # super-row, not revisit super 0: the Pallas grid flushes an output
+        # block when the out index changes, and revisiting an
+        # already-flushed block on compiled TPU reads a stale accumulator —
+        # contiguous super visits are a kernel invariant
+        last_sup = m_pad // tr - 1
+        sup = np.full((D, ntile_u), last_sup, np.int32)
         start = np.zeros((D, ntile_u), np.int32)
         entry_flat_parts = []
         entry_rc_parts = []
@@ -461,8 +467,11 @@ class BsrRowShardedMatrix:
 
     def entry_values(self) -> np.ndarray:
         flat = self.atiles.reshape(-1)
+        # cast to the COMPUTE dtype, not f32: the f64 lane's weighted edge
+        # values must round-trip at full precision (bf16/f32 storage modes
+        # upcast losslessly)
         return np.asarray(
-            flat[jnp.asarray(self._hm.entry_flat)].astype(jnp.float32))
+            flat[jnp.asarray(self._hm.entry_flat)].astype(self.dtype))
 
     # -- sharded-in / sharded-out kernel ------------------------------------
     def spmm_sharded(self, x_sharded: jax.Array) -> jax.Array:

@@ -138,8 +138,13 @@ def unweighted_table(mode: str, fh):
               "| GKB s | large-Q rows |", file=fh)
         print("|---|---|---|---|---|---|---|---|---|", file=fh)
         for name in extras:
-            src, tag = ((cpu, "cpu-f64") if (label, name) in cpu
-                        else (tpu, "tpu-f32"))
+            # tag by whichever lane holds ANY row for this dataset (base or
+            # large-Q suffixed) — a suffix-only CPU dataset must not be
+            # mislabeled tpu-f32
+            in_cpu = any(k[1] == name and (k[0] == label
+                                           or k[0].startswith(label + "_"))
+                         for k in cpu)
+            src, tag = (cpu, "cpu-f64") if in_cpu else (tpu, "tpu-f32")
             g = src.get((label, name))
             mi = src.get(("MIOBI", name))
             ev = src.get(("EIGENV", name))

@@ -227,3 +227,44 @@ def test_bsr_row_sharded_overlap_split_matches_single_pass():
     A2.eliminate_zeros()
     np.testing.assert_allclose(np.asarray(S1 @ jnp.asarray(x)), A2 @ x,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_bsr_row_sharded_super_visits_contiguous():
+    """Kernel invariant: within each tile segment (diag pass, off pass),
+    the super-row output index must be NON-DECREASING — the Pallas grid
+    flushes an output block when the index changes, and revisiting an
+    already-flushed block on compiled TPU reads a stale accumulator. Pad
+    tiles must therefore continue the LAST super-row, never revisit 0
+    (regression for the round-5 review finding)."""
+    import scipy.sparse as sp
+
+    from krylov_robustness_tpu.parallel.spmm_sharded import BsrRowShardedMatrix
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a multi-device mesh")
+    # highly unbalanced shards: shard 0 dense-ish rows, later shards sparse
+    rng = np.random.default_rng(0)
+    n = 600
+    rows = np.concatenate([rng.integers(0, 80, 900),
+                           rng.integers(80, n, 60)])
+    cols = rng.integers(0, n, len(rows))
+    A = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    A = ((A + A.T) > 0).astype(np.float64)
+    A.setdiag(0)
+    A = sp.csr_matrix(A)
+    A.eliminate_zeros()
+    mesh = make_mesh(4)
+    for overlap in (False, True):
+        S = BsrRowShardedMatrix.from_scipy(A, mesh, dtype=jnp.float64,
+                                           tile=(128, 128), interpret=True,
+                                           overlap=overlap)
+        sup = np.asarray(S.sup)
+        nd = S.n_diag or sup.shape[1]
+        for d in range(sup.shape[0]):
+            assert (np.diff(sup[d, :nd]) >= 0).all(), (overlap, d)
+            if S.n_diag:
+                assert (np.diff(sup[d, nd:]) >= 0).all(), (overlap, d)
+        # and the product still matches scipy
+        x = rng.standard_normal((n, 4))
+        np.testing.assert_allclose(np.asarray(S @ jnp.asarray(x)), A @ x,
+                                   rtol=1e-12, atol=1e-12)
