@@ -556,11 +556,15 @@ def greedy_krylov(
     A_aug = None
     def run_loop(F):
         # below the dense cutoff the per-step loop scores through the EXACT
-        # dense path (trace_fun_update.m:37); keep that guarantee
-        from ..updates.trace_update import DENSE_N_CUTOFF
+        # dense path (trace_fun_update.m:37); keep that guarantee. Above
+        # the HBM cell ceiling the fused block cannot run (it scores the
+        # whole window in ONE program — only the per-step lane chunks the
+        # candidate batch), so large-Q windows take the per-step loop.
+        from ..updates.trace_update import DENSE_N_CUTOFF, MAX_SCORE_CELLS
 
         if (fused_steps > 1 and rescore_every <= 1
                 and A.shape[0] > DENSE_N_CUTOFF
+                and (Q + fused_steps) * A.shape[0] <= MAX_SCORE_CELLS
                 and hasattr(F, "fused_state")):
             return _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol,
                                       rescale, schedule, shift, checkpoint,
