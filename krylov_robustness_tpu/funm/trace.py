@@ -250,13 +250,15 @@ def trace_exp_host(A_scipy, tol: float = 1e-4, maxit: int = 1000,
         # adaptive top-k: hub spectra decay fast, so the certified tail
         # bound usually closes at k≈64 — escalating from there instead of
         # a fixed k=400 cut the soc-Epinions1 normalizer from ~180 s to
-        # seconds. tol=1e-8 on the eigenvalues bounds the relative trace
-        # error at ~1e-8 (δ(e^{λ−σ})/e^{λ−σ} = δλ), well inside the 1e-6
-        # certification target.
+        # seconds. ARPACK's tol is RELATIVE (δλ ≈ tol·λmax ≈ tol·σ), and
+        # the relative trace error is δ(e^{λ−σ})/e^{λ−σ} = δλ, so tol is
+        # scaled by σ to keep the trace error ≤ ~1e-7 regardless of the
+        # spectral scale (σ up to ~184 on soc-Epinions1).
+        eig_tol = min(1e-8, 1e-7 / sigma)
         for k in (64, 256, min(400, n - 2)):
             k = min(k, n - 2)
             w = spla.eigsh(A, k=k, which="LA", return_eigenvectors=False,
-                           tol=1e-8)
+                           tol=eig_tol)
             w = np.sort(w)[::-1]
             tr = float(np.sum(np.exp(w - sigma)))
             tail = (n - k) * float(np.exp(w[-1] - sigma))

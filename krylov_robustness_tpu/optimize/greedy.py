@@ -562,9 +562,15 @@ def greedy_krylov(
         # candidate batch), so large-Q windows take the per-step loop.
         from ..updates.trace_update import DENSE_N_CUTOFF, MAX_SCORE_CELLS
 
+        # margin on the ceiling: the block's actual window is padded to the
+        # mesh multiple (up to +64) and the operator's rows carry RCM/tile
+        # padding, both unknown here — 3/4 of the ceiling keeps boundary
+        # configurations on the chunked per-step lane instead of risking
+        # the calibrated HBM limit
         if (fused_steps > 1 and rescore_every <= 1
                 and A.shape[0] > DENSE_N_CUTOFF
-                and (Q + fused_steps) * A.shape[0] <= MAX_SCORE_CELLS
+                and (Q + fused_steps + 64) * A.shape[0]
+                <= (3 * MAX_SCORE_CELLS) // 4
                 and hasattr(F, "fused_state")):
             return _greedy_loop_fused(F, top, Q, k, mode, sign, fun, tol,
                                       rescale, schedule, shift, checkpoint,

@@ -413,9 +413,10 @@ class BsrRowShardedMatrix:
             slab[d, :k] = sl
             sup[d, :k] = su
             start[d, :k] = st
-            # pad tiles: all-zero, accumulate into super 0 (never a start —
-            # they run after the real tiles, adding 0 to an already-written
-            # y tile)
+            # (segment positions beyond the real tiles stay all-zero with
+            # sup=last_sup/start=0 from the initialization above —
+            # continuing the final super-row so visits never revisit an
+            # already-flushed output block)
             entry_flat_parts.append((d * ntile_u + et) * (tr * tc) + eo)
             entry_rc_parts.append(rcs[d][0])
             if packs_o[d] is not None:

@@ -138,13 +138,18 @@ def unweighted_table(mode: str, fh):
               "| GKB s | large-Q rows |", file=fh)
         print("|---|---|---|---|---|---|---|---|---|", file=fh)
         for name in extras:
-            # tag by whichever lane holds ANY row for this dataset (base or
-            # large-Q suffixed) — a suffix-only CPU dataset must not be
-            # mislabeled tpu-f32
-            in_cpu = any(k[1] == name and (k[0] == label
-                                           or k[0].startswith(label + "_"))
-                         for k in cpu)
-            src, tag = (cpu, "cpu-f64") if in_cpu else (tpu, "tpu-f32")
+            # prefer the lane holding the BASE row (cpu first); fall back
+            # to whichever lane holds the suffixed rows — a suffix-only
+            # CPU dataset must not be mislabeled tpu-f32, and a TPU base
+            # row must not be hidden by a CPU suffix-only row
+            if (label, name) in cpu:
+                src, tag = cpu, "cpu-f64"
+            elif (label, name) in tpu:
+                src, tag = tpu, "tpu-f32"
+            else:
+                in_cpu = any(k[1] == name and k[0].startswith(label + "_")
+                             for k in cpu)
+                src, tag = (cpu, "cpu-f64") if in_cpu else (tpu, "tpu-f32")
             g = src.get((label, name))
             mi = src.get(("MIOBI", name))
             ev = src.get(("EIGENV", name))
